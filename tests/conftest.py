@@ -1,0 +1,14 @@
+"""Test config: force JAX onto the CPU backend with 8 virtual devices so the
+multi-chip sharding paths are exercised without TPU hardware (SURVEY.md §4.3).
+
+Must run before jax is imported anywhere in the test process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
