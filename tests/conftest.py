@@ -6,9 +6,17 @@ Must run before jax is imported anywhere in the test process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even though the session env pins JAX_PLATFORMS=axon (the TPU
+# tunnel): unit tests must be hardware-independent and fast to compile.
+# A sitecustomize boot hook prepends "axon" to jax_platforms at import time,
+# so the env var alone is not enough -- override the config after import too.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

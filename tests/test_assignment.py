@@ -1,0 +1,103 @@
+"""On-chip auction assignment vs the scipy oracle (specs/assignment_np.py).
+
+Random float matrices have a unique optimum almost surely, so the JAX solver
+must recover scipy's exact match set after threshold filtering.
+"""
+
+import numpy as np
+import pytest
+from scipy.optimize import linear_sum_assignment
+
+from yolo_deepsort_tpu.ops.assignment import solve_masked_assignment
+
+
+def scipy_min_cost_matching(cost, max_distance):
+    """Reference semantics (linear_assignment.py:~25-80) on a dense matrix."""
+    cost = cost.copy()
+    cost[cost > max_distance] = max_distance + 1e-5
+    rows, cols = linear_sum_assignment(cost)
+    matches = {}
+    for r, c in zip(rows, cols):
+        if cost[r, c] <= max_distance:
+            matches[r] = c
+    return matches
+
+
+def run_case(cost, max_distance, row_mask=None, col_mask=None):
+    r, c = cost.shape
+    if row_mask is None:
+        row_mask = np.ones(r, bool)
+    if col_mask is None:
+        col_mask = np.ones(c, bool)
+    out = np.asarray(
+        solve_masked_assignment(cost, row_mask, col_mask, max_distance)
+    )
+    return {int(i): int(out[i]) for i in range(r) if out[i] >= 0}
+
+
+@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("shape", [(4, 4), (7, 3), (3, 9), (12, 12)])
+def test_matches_scipy_on_random_matrices(seed, shape):
+    rng = np.random.default_rng(seed)
+    cost = rng.uniform(0, 1, shape).astype(np.float32)
+    maxd = 0.6
+    expected = scipy_min_cost_matching(cost.astype(np.float64), maxd)
+    got = run_case(cost, maxd)
+    assert got == expected, f"\ncost=\n{cost}\nexp={expected}\ngot={got}"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_matches_scipy_with_infty_gates(seed):
+    rng = np.random.default_rng(100 + seed)
+    cost = rng.uniform(0, 0.4, (8, 6)).astype(np.float32)
+    gate = rng.uniform(size=(8, 6)) < 0.4
+    cost[gate] = 1e5  # INFTY_COST gating, as gate_cost_matrix produces
+    maxd = 0.2
+    expected = scipy_min_cost_matching(cost.astype(np.float64), maxd)
+    got = run_case(cost, maxd)
+    assert got == expected
+
+
+def test_masked_rows_cols_excluded():
+    cost = np.full((5, 5), 0.1, np.float32)
+    np.fill_diagonal(cost, 0.01)
+    row_mask = np.array([True, True, False, True, False])
+    col_mask = np.array([True, False, True, True, True])
+    got = run_case(cost, 0.5, row_mask, col_mask)
+    assert 2 not in got and 4 not in got
+    assert all(c != 1 for c in got.values())
+    # remaining diagonal pairs are optimal
+    assert got[0] == 0 and got[3] == 3
+
+
+def test_all_above_threshold_unmatched():
+    cost = np.full((4, 4), 0.9, np.float32)
+    assert run_case(cost, 0.5) == {}
+
+
+def test_empty_masks():
+    cost = np.zeros((4, 4), np.float32)
+    got = run_case(cost, 0.5, np.zeros(4, bool), np.ones(4, bool))
+    assert got == {}
+
+
+def test_more_rows_than_cols_prefers_cheapest():
+    cost = np.array([[0.5], [0.1], [0.3]], np.float32)
+    got = run_case(cost, 0.6)
+    assert got == {1: 0}
+
+
+def test_large_masked_matrix_matches_scipy():
+    rng = np.random.default_rng(7)
+    r, c = 64, 48
+    cost = rng.uniform(0, 1, (r, c)).astype(np.float32)
+    row_mask = rng.uniform(size=r) < 0.7
+    col_mask = rng.uniform(size=c) < 0.7
+    maxd = 0.5
+    sub_cost = cost[np.ix_(row_mask, col_mask)].astype(np.float64)
+    expected_sub = scipy_min_cost_matching(sub_cost, maxd)
+    ridx = np.flatnonzero(row_mask)
+    cidx = np.flatnonzero(col_mask)
+    expected = {int(ridx[r_]): int(cidx[c_]) for r_, c_ in expected_sub.items()}
+    got = run_case(cost, maxd, row_mask, col_mask)
+    assert got == expected
