@@ -1,0 +1,221 @@
+"""Frame-by-frame parity: the fixed-shape JAX tracker vs the numpy DeepSORT
+oracle (specs/tracker_np.py) on synthetic multi-object scenes with occlusion,
+birth/death, crossings and noisy appearance features."""
+
+from functools import partial
+
+import jax
+import numpy as np
+import pytest
+
+from specs.tracker_np import DeepSortLogic
+from yolo_deepsort_tpu.config import TrackerConfig
+from yolo_deepsort_tpu.tracking.tracker import init_tracker_state, tracker_step
+
+IMG_HW = (720, 1280)
+FEAT_DIM = 32
+
+
+def make_scenario(seed, n_objects=4, n_frames=25, dropout=0.08):
+    """Objects with constant velocity + jitter; unit appearance vectors with
+    noise; randomized visibility windows. Returns per-frame (xywh, conf, feat)."""
+    rng = np.random.default_rng(seed)
+    base_feat = rng.normal(size=(n_objects, FEAT_DIM))
+    base_feat /= np.linalg.norm(base_feat, axis=1, keepdims=True)
+    pos = rng.uniform([100, 100], [900, 500], (n_objects, 2))
+    vel = rng.uniform(-8, 8, (n_objects, 2))
+    size = rng.uniform([30, 60], [60, 120], (n_objects, 2))
+    t_in = rng.integers(0, 5, n_objects)
+    t_out = rng.integers(n_frames - 5, n_frames + 10, n_objects)
+
+    frames = []
+    for t in range(n_frames):
+        rows, confs, feats = [], [], []
+        for k in range(n_objects):
+            if not (t_in[k] <= t < t_out[k]):
+                continue
+            if rng.uniform() < dropout:
+                continue
+            cx, cy = pos[k] + vel[k] * t + rng.normal(0, 1.5, 2)
+            w, h = size[k] * (1 + rng.normal(0, 0.02, 2))
+            f = base_feat[k] + rng.normal(0, 0.05, FEAT_DIM)
+            f /= np.linalg.norm(f)
+            rows.append([cx, cy, w, h])
+            confs.append(float(rng.uniform(0.5, 0.95)))
+            feats.append(f)
+        frames.append(
+            (
+                np.array(rows, np.float64).reshape(-1, 4),
+                confs,
+                np.array(feats, np.float64).reshape(-1, FEAT_DIM),
+            )
+        )
+    return frames
+
+
+def run_oracle(frames, **kw):
+    ds = DeepSortLogic(**kw)
+    outs = []
+    for xywh, confs, feats in frames:
+        outs.append(ds.update(xywh, confs, feats, IMG_HW))
+    return outs
+
+
+def run_jax(frames, cfg: TrackerConfig):
+    step = jax.jit(partial(tracker_step, cfg))
+    state = init_tracker_state(cfg)
+    d = cfg.max_dets
+    img_hw = np.array(IMG_HW, np.int32)
+    outs = []
+    for xywh, confs, feats in frames:
+        n = xywh.shape[0]
+        tlwh = np.zeros((d, 4), np.float32)
+        tlwh[:n, 0] = xywh[:, 0] - xywh[:, 2] / 2
+        tlwh[:n, 1] = xywh[:, 1] - xywh[:, 3] / 2
+        tlwh[:n, 2:] = xywh[:, 2:]
+        conf = np.zeros((d,), np.float32)
+        conf[:n] = confs
+        feat = np.zeros((d, cfg.feat_dim), np.float32)
+        feat[:n] = feats
+        mask = np.zeros((d,), bool)
+        mask[:n] = True
+        state, boxes, emit = step(state, tlwh, conf, feat, mask, img_hw)
+        boxes = np.asarray(boxes)[np.asarray(emit)]
+        outs.append(boxes[np.argsort(boxes[:, 4])] if len(boxes) else
+                    np.zeros((0, 5), np.int64))
+    return outs
+
+
+def compare(oracle_outs, jax_outs, atol=2):
+    """Frame-by-frame comparison, tolerant to a *consistent bijective
+    relabeling* of track ids.
+
+    The reference's new-track id order within a frame depends on scipy's
+    unmatched-detection ordering (never-assigned dets first, threshold-dropped
+    dets appended after, linear_assignment.py:~55-75); our tracker initiates
+    strictly in detection-index order. Ids never feed back into matching, so
+    a same-frame permutation of freshly-born ids is behaviorally irrelevant --
+    but the mapping must stay consistent for the whole sequence (no identity
+    switches allowed)."""
+    id_map = {}
+    for t, (o, j) in enumerate(zip(oracle_outs, jax_outs)):
+        assert len(o) == len(j), (
+            f"frame {t}: oracle emitted {len(o)} tracks, jax {len(j)}\n"
+            f"oracle:\n{o}\njax:\n{j}"
+        )
+        if not len(o):
+            continue
+        # match rows by box proximity (boxes are near-identical by contract)
+        used = set()
+        for orow in o:
+            dists = np.abs(j[:, :4] - orow[None, :4]).max(axis=1)
+            dists[list(used)] = 1 << 30
+            k = int(np.argmin(dists))
+            assert dists[k] <= atol, (
+                f"frame {t}: no jax box within {atol}px of oracle row {orow}\n"
+                f"oracle:\n{o}\njax:\n{j}"
+            )
+            used.add(k)
+            oid, jid = int(orow[4]), int(j[k, 4])
+            if oid in id_map:
+                assert id_map[oid] == jid, (
+                    f"frame {t}: id switch -- oracle id {oid} was jax id "
+                    f"{id_map[oid]}, now {jid}\noracle:\n{o}\njax:\n{j}"
+                )
+            else:
+                assert jid not in id_map.values(), (
+                    f"frame {t}: jax id {jid} mapped to two oracle ids"
+                )
+                id_map[oid] = jid
+
+
+CFG = TrackerConfig(max_tracks=32, max_dets=16, feat_dim=FEAT_DIM, nn_budget=20)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_parity_random_scenes(seed):
+    frames = make_scenario(seed)
+    compare(
+        run_oracle(frames, nn_budget=20),
+        run_jax(frames, CFG),
+    )
+
+
+def test_parity_long_occlusion_reacquire():
+    """An object disappears for 20 frames and returns: the cascade must
+    re-associate it by appearance with the same id."""
+    rng = np.random.default_rng(42)
+    f1 = rng.normal(size=FEAT_DIM); f1 /= np.linalg.norm(f1)
+    f2 = rng.normal(size=FEAT_DIM); f2 /= np.linalg.norm(f2)
+    frames = []
+    for t in range(40):
+        rows, confs, feats = [], [], []
+        rows.append([200 + 4 * t, 300, 50, 100]); confs.append(0.9); feats.append(f1)
+        if not (10 <= t < 30):
+            rows.append([600, 200 + 3 * t, 50, 100]); confs.append(0.9); feats.append(f2)
+        frames.append((np.array(rows, np.float64), confs,
+                       np.array(feats, np.float64)))
+    o = run_oracle(frames, nn_budget=20)
+    j = run_jax(frames, CFG)
+    compare(o, j)
+    # and the reacquired id must be the original one
+    ids_before = set(o[9][:, 4].tolist())
+    ids_after = set(o[35][:, 4].tolist())
+    assert ids_before == ids_after == {1, 2}
+
+
+def test_parity_crossing_objects():
+    """Two objects crossing paths with distinct appearance: ids must not swap."""
+    rng = np.random.default_rng(7)
+    fa = rng.normal(size=FEAT_DIM); fa /= np.linalg.norm(fa)
+    fb = rng.normal(size=FEAT_DIM); fb /= np.linalg.norm(fb)
+    frames = []
+    for t in range(30):
+        rows = [[100 + 20 * t, 300, 50, 100], [700 - 20 * t, 300, 50, 100]]
+        frames.append((np.array(rows, np.float64), [0.9, 0.9],
+                       np.stack([fa, fb])))
+    compare(run_oracle(frames, nn_budget=20), run_jax(frames, CFG))
+
+
+def test_parity_empty_frames_and_capacity():
+    frames = [(np.zeros((0, 4)), [], np.zeros((0, FEAT_DIM)))] * 3
+    compare(run_oracle(frames, nn_budget=20), run_jax(frames, CFG))
+
+
+def test_low_confidence_filtered():
+    rng = np.random.default_rng(3)
+    f = rng.normal(size=FEAT_DIM); f /= np.linalg.norm(f)
+    frames = [
+        (np.array([[300, 300, 40, 80]], np.float64), [0.2], f[None, :])
+    ] * 4
+    o = run_oracle(frames, nn_budget=20)
+    j = run_jax(frames, CFG)
+    compare(o, j)
+    assert all(len(x) == 0 for x in j)
+
+
+def test_state_is_scan_and_jit_stable():
+    """Bit-identical outputs jitted vs unjitted (SURVEY.md section 4.4)."""
+    frames = make_scenario(11, n_objects=3, n_frames=8)
+    cfg = CFG
+    step_j = jax.jit(partial(tracker_step, cfg))
+    step_e = partial(tracker_step, cfg)
+    s1, s2 = init_tracker_state(cfg), init_tracker_state(cfg)
+    img_hw = np.array(IMG_HW, np.int32)
+    d = cfg.max_dets
+    for xywh, confs, feats in frames:
+        n = xywh.shape[0]
+        tlwh = np.zeros((d, 4), np.float32)
+        if n:
+            tlwh[:n, 0] = xywh[:, 0] - xywh[:, 2] / 2
+            tlwh[:n, 1] = xywh[:, 1] - xywh[:, 3] / 2
+            tlwh[:n, 2:] = xywh[:, 2:]
+        conf = np.zeros((d,), np.float32); conf[:n] = confs
+        feat = np.zeros((d, cfg.feat_dim), np.float32)
+        if n:
+            feat[:n] = feats
+        mask = np.zeros((d,), bool); mask[:n] = True
+        s1, b1, e1 = step_j(s1, tlwh, conf, feat, mask, img_hw)
+        s2, b2, e2 = step_e(s2, tlwh, conf, feat, mask, img_hw)
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+        np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
