@@ -1,0 +1,170 @@
+"""ReID net parity: JAX reid_apply vs a torch replica of the reference Net
+(deep_sort/deep/model.py structure, ZQPei state-dict names), plus the
+crop-and-embed op vs cv2 semantics."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+from yolo_deepsort_tpu.models.reid import (  # noqa: E402
+    params_from_state_dict,
+    random_reid_params,
+    reid_apply,
+)
+
+
+class BasicBlock(nn.Module):
+    """Reference BasicBlock (deep_sort/deep/model.py:~10-45)."""
+
+    def __init__(self, c_in, c_out, is_downsample=False):
+        super().__init__()
+        self.conv1 = nn.Conv2d(
+            c_in, c_out, 3, stride=2 if is_downsample else 1, padding=1, bias=False
+        )
+        self.bn1 = nn.BatchNorm2d(c_out)
+        self.relu = nn.ReLU(True)
+        self.conv2 = nn.Conv2d(c_out, c_out, 3, stride=1, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(c_out)
+        if is_downsample:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(c_in, c_out, 1, stride=2, bias=False),
+                nn.BatchNorm2d(c_out),
+            )
+        elif c_in != c_out:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(c_in, c_out, 1, stride=1, bias=False),
+                nn.BatchNorm2d(c_out),
+            )
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        y = self.conv2(self.relu(self.bn1(self.conv1(x))))
+        y = self.bn2(y)
+        s = x if self.downsample is None else self.downsample(x)
+        return torch.relu(y + s)
+
+
+def make_layers(c_in, c_out, repeat, is_downsample):
+    blocks = [BasicBlock(c_in, c_out, is_downsample)]
+    for _ in range(repeat - 1):
+        blocks.append(BasicBlock(c_out, c_out))
+    return nn.Sequential(*blocks)
+
+
+class TorchNet(nn.Module):
+    """Reference Net (deep_sort/deep/model.py:~50-110)."""
+
+    def __init__(self, num_classes=751, reid=True):
+        super().__init__()
+        self.conv = nn.Sequential(
+            nn.Conv2d(3, 64, 3, stride=1, padding=1),
+            nn.BatchNorm2d(64),
+            nn.ReLU(True),
+            nn.MaxPool2d(3, 2, padding=1),
+        )
+        self.layer1 = make_layers(64, 64, 2, False)
+        self.layer2 = make_layers(64, 128, 2, True)
+        self.layer3 = make_layers(128, 256, 2, True)
+        self.layer4 = make_layers(256, 512, 2, True)
+        self.avgpool = nn.AvgPool2d((8, 4), 1)
+        self.reid = reid
+        self.classifier = nn.Sequential(
+            nn.Linear(512, 256),
+            nn.BatchNorm1d(256),
+            nn.ReLU(True),
+            nn.Dropout(),
+            nn.Linear(256, num_classes),
+        )
+
+    def forward(self, x):
+        x = self.conv(x)
+        x = self.layer1(x)
+        x = self.layer2(x)
+        x = self.layer3(x)
+        x = self.layer4(x)
+        x = self.avgpool(x)
+        x = x.view(x.size(0), -1)
+        if self.reid:
+            return x / x.norm(p=2, dim=1, keepdim=True)
+        return self.classifier(x)
+
+
+@pytest.fixture(scope="module")
+def torch_net():
+    torch.manual_seed(0)
+    net = TorchNet(num_classes=10, reid=True).eval()
+    # randomize BN stats so folding bugs can't hide behind identity stats
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, (nn.BatchNorm2d, nn.BatchNorm1d)):
+                m.running_mean.normal_(0, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.normal_(1.0, 0.2)
+                m.bias.normal_(0, 0.2)
+    return net
+
+
+def test_reid_feature_parity(torch_net):
+    sd = {k: v.numpy() for k, v in torch_net.state_dict().items()}
+    params = params_from_state_dict(sd)
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(0, 1, (4, 3, 128, 64)).astype(np.float32)
+    with torch.no_grad():
+        feats_t = torch_net(torch.tensor(x)).numpy()
+    feats_j = np.asarray(reid_apply(params, np.transpose(x, (0, 2, 3, 1))))
+    assert feats_j.shape == (4, 512)
+    np.testing.assert_allclose(feats_j, feats_t, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.linalg.norm(feats_j, axis=1), 1.0, rtol=1e-5)
+
+
+def test_reid_classifier_parity(torch_net):
+    torch_net.reid = False
+    sd = {k: v.numpy() for k, v in torch_net.state_dict().items()}
+    params = params_from_state_dict(sd)
+    rng = np.random.default_rng(2)
+    x = rng.normal(0, 1, (4, 3, 128, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = torch_net(torch.tensor(x)).numpy()
+    logits_j = np.asarray(
+        reid_apply(params, np.transpose(x, (0, 2, 3, 1)), classify=True)
+    )
+    torch_net.reid = True
+    np.testing.assert_allclose(logits_j, logits_t, rtol=2e-3, atol=2e-3)
+
+
+def test_random_params_shape_compatible():
+    params = random_reid_params(seed=0)
+    x = np.zeros((2, 128, 64, 3), np.float32)
+    f = np.asarray(reid_apply(params, x))
+    assert f.shape == (2, 512)
+
+
+def test_crop_and_normalize_matches_reference_semantics():
+    cv2 = pytest.importorskip("cv2")
+    from yolo_deepsort_tpu.ops.crops import crop_and_normalize
+
+    rng = np.random.default_rng(3)
+    frame = rng.integers(0, 256, (240, 320, 3), dtype=np.uint8)
+    boxes = np.array(
+        [
+            [10, 20, 74, 148],   # exact 64x128 (resize = identity)
+            [50, 30, 130, 190],  # needs downscale
+            [5, 5, 25, 45],      # needs upscale
+        ],
+        np.float32,
+    )
+    ours = np.asarray(crop_and_normalize(frame, boxes))
+
+    mean = np.array([0.485, 0.456, 0.406])
+    std = np.array([0.229, 0.224, 0.225])
+    for i, (x1, y1, x2, y2) in enumerate(boxes.astype(int)):
+        crop = frame[y1:y2, x1:x2]
+        ref = cv2.resize(crop, (64, 128), interpolation=cv2.INTER_LINEAR)
+        ref = (ref.astype(np.float64) / 255.0 - mean) / std
+        err = np.abs(ours[i] - ref)
+        assert err.mean() < 0.02, f"box {i}: mean err {err.mean()}"
+        assert np.quantile(err, 0.99) < 0.15, f"box {i}: p99 err high"
