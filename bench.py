@@ -1,0 +1,97 @@
+"""Headline benchmark: aggregate 1080p tracking throughput per chip.
+
+Runs the FULL fused per-frame pipeline -- letterbox(1080p) -> YOLOv3-416
+backbone+decode (bf16) -> class-aware weighted-merge NMS -> ReID crop+embed
+-> DeepSORT association (Kalman, gated cascade, JV assignment) -- batched
+over S concurrent streams on one chip, entirely on-device (zero host
+round-trips inside the step).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is the fraction of the BASELINE.json north-star target of
+500 fps aggregate 1080p tracking per TPU v5e chip (the reference repo
+publishes no numbers of its own -- see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="yolov3", choices=["yolov3", "yolov3-tiny", "yolov4"])
+    p.add_argument("--img-size", type=int, default=416)
+    p.add_argument("--streams", type=int, default=8)
+    p.add_argument("--frame-h", type=int, default=1080)
+    p.add_argument("--frame-w", type=int, default=1920)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--f32", action="store_true", help="disable bf16 compute")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_deepsort_tpu.cfg.architectures import ARCHITECTURES
+    from yolo_deepsort_tpu.config import DetectorConfig, TrackerConfig
+    from yolo_deepsort_tpu.models import weights as W
+    from yolo_deepsort_tpu.models.darknet import build_network
+    from yolo_deepsort_tpu.models.reid import random_reid_params
+    from yolo_deepsort_tpu.parallel.streams import (
+        init_stream_states,
+        make_batched_step,
+    )
+
+    plan = build_network(ARCHITECTURES[args.model](img_size=args.img_size))
+    det_params = W.fold_inference_params(
+        W.random_raw_params(plan.defs(), seed=0), plan.defs()
+    )
+    reid_params = random_reid_params(seed=0)
+    det_cfg = DetectorConfig(img_size=args.img_size, conf_thres=0.5, nms_thres=0.4)
+    trk_cfg = TrackerConfig()
+
+    compute_dtype = jnp.float32 if args.f32 else jnp.bfloat16
+    step = make_batched_step(
+        plan, det_cfg, trk_cfg, (args.frame_h, args.frame_w),
+        compute_dtype=compute_dtype,
+    )
+
+    s = args.streams
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.integers(0, 256, (s, args.frame_h, args.frame_w, 3), dtype=np.uint8)
+    )
+    states = init_stream_states(trk_cfg, s)
+    det_params = jax.tree_util.tree_map(jnp.asarray, det_params)
+    reid_params = jax.tree_util.tree_map(jnp.asarray, reid_params)
+
+    for _ in range(args.warmup):
+        states, (outputs, emit) = step(det_params, reid_params, states, frames)
+    jax.block_until_ready(outputs)
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        states, (outputs, emit) = step(det_params, reid_params, states, frames)
+    jax.block_until_ready(outputs)
+    dt = time.perf_counter() - t0
+
+    fps = s * args.steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"aggregate 1080p {args.model}-{args.img_size}"
+                          " detect+track fps/chip",
+                "value": round(fps, 2),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / 500.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

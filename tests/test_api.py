@@ -1,0 +1,142 @@
+"""End-to-end API tests: DeepSort facade (crop->embed->associate on real
+pixel data), VideoTracker single-step pipeline, video IO round-trip."""
+
+import numpy as np
+import pytest
+
+from yolo_deepsort_tpu.api import DeepSort, Darknet, ImageDetector, VideoTracker
+from yolo_deepsort_tpu.config import TrackerConfig
+
+
+def paint_frame(h, w, objects):
+    """objects: list of (cx, cy, bw, bh, rgb)."""
+    frame = np.full((h, w, 3), 30, np.uint8)
+    for cx, cy, bw, bh, color in objects:
+        x1, y1 = int(cx - bw / 2), int(cy - bh / 2)
+        x2, y2 = int(cx + bw / 2), int(cy + bh / 2)
+        frame[max(y1, 0):y2, max(x1, 0):x2] = color
+    return frame
+
+
+RED = (200, 40, 40)
+BLUE = (40, 60, 200)
+
+
+def test_deepsort_facade_end_to_end():
+    ds = DeepSort(max_tracks=16, max_dets=8, nn_budget=10)
+    h, w = 240, 320
+    seen_ids = []
+    for t in range(8):
+        objs = [(60 + 6 * t, 100, 30, 60, RED)]
+        if not (4 <= t <= 4):  # blue missing exactly at t=4
+            objs.append((220 - 4 * t, 140, 30, 60, BLUE))
+        frame = paint_frame(h, w, objs)
+        boxes = np.array([[o[0], o[1], o[2], o[3]] for o in objs], np.float32)
+        out = ds.update(boxes, [0.9] * len(objs), frame)
+        seen_ids.append(sorted(out[:, 4].tolist()))
+    # both confirmed from frame 2 and ids stable (1, 2) through the gap
+    assert seen_ids[2] == [1, 2]
+    assert seen_ids[7] == [1, 2]
+    # boxes track positions
+    out_ids = out[:, 4]
+    red_row = out[out_ids == seen_ids[2][0]][0]
+    assert abs((red_row[0] + red_row[2]) / 2 - (60 + 6 * 7)) < 12
+
+
+def test_deepsort_facade_empty_update():
+    ds = DeepSort(max_tracks=8, max_dets=4)
+    frame = paint_frame(120, 160, [])
+    out = ds.update(np.zeros((0, 4)), [], frame)
+    assert out.shape == (0, 5)
+
+
+def test_deepsort_reset():
+    ds = DeepSort(max_tracks=8, max_dets=4, n_init=1)
+    frame = paint_frame(120, 160, [(80, 60, 20, 40, RED)])
+    box = np.array([[80, 60, 20, 40]], np.float32)
+    ds.update(box, [0.9], frame)
+    out = ds.update(box, [0.9], frame)  # confirmed on 2nd hit (n_init=1)
+    assert out[0, 4] == 1
+    ds.reset()
+    ds.update(box, [0.9], frame)
+    out = ds.update(box, [0.9], frame)
+    assert out[0, 4] == 1  # ids restart after reset
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    return Darknet("yolov3-tiny", img_size=96)
+
+
+def test_image_detector_smoke(tiny_model):
+    det = ImageDetector(tiny_model, conf_thres=0.5)
+    img = np.random.default_rng(0).integers(0, 256, (120, 160, 3), np.uint8)
+    out = det.detect(img)
+    assert out.ndim == 2 and out.shape[1] == 7
+    # repeated calls reuse the compiled step and are deterministic
+    out2 = det.detect(img)
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_video_tracker_step_pipeline(tiny_model):
+    vt = VideoTracker(
+        tiny_model,
+        tracked_classes=None,
+        conf_thres=0.3,
+        tracker_config=TrackerConfig(max_tracks=16, max_dets=16, nn_budget=10),
+    )
+    frame = np.random.default_rng(1).integers(0, 256, (144, 192, 3), np.uint8)
+    out = vt.track_frame(frame)
+    assert out.ndim == 2 and out.shape[1] == 5
+    # state advances deterministically across frames
+    ids_before = int(np.asarray(vt.state.next_id))
+    vt.track_frame(frame)
+    assert int(np.asarray(vt.state.next_id)) >= ids_before
+
+
+def test_video_source_roundtrip(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from yolo_deepsort_tpu.runtime.video import VideoSource, VideoWriter
+
+    path = str(tmp_path / "clip.mp4")
+    wri = VideoWriter(path, 10.0, (64, 48))
+    frames = []
+    for t in range(6):
+        f = np.full((48, 64, 3), t * 20, np.uint8)
+        frames.append(f)
+        wri.write(f)
+    wri.release()
+
+    src = VideoSource(path)
+    got = list(src)
+    src.release()
+    assert len(got) == 6
+    assert got[0].shape == (48, 64, 3)
+    # intensities roughly preserved through the codec
+    for t, f in enumerate(got):
+        assert abs(int(f.mean()) - t * 20) <= 6
+
+
+def test_video_detector_generator(tiny_model, tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from yolo_deepsort_tpu.api import VideoDetector
+    from yolo_deepsort_tpu.runtime.video import VideoWriter
+
+    path = str(tmp_path / "clip.mp4")
+    wri = VideoWriter(path, 10.0, (96, 72))
+    rng = np.random.default_rng(2)
+    for _ in range(4):
+        wri.write(rng.integers(0, 256, (72, 96, 3), np.uint8))
+    wri.release()
+
+    det = ImageDetector(tiny_model, conf_thres=0.6)
+    vd = VideoDetector(det)
+    out_path = str(tmp_path / "out.mp4")
+    results = list(vd.detect(path, output_path=out_path, skip_frames=1))
+    assert len(results) == 4
+    annotated, dets = results[0]
+    assert annotated.shape == (72, 96, 3)
+    # skip_frames=1: frames 1 reuses frame 0's detections
+    np.testing.assert_array_equal(results[0][1], results[1][1])
+    import os
+    assert os.path.getsize(out_path) > 0

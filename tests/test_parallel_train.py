@@ -1,0 +1,155 @@
+"""Multi-stream batching, multi-chip sharding (8 virtual CPU devices), and
+the ReID training step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from yolo_deepsort_tpu.cfg import yolov3_tiny
+from yolo_deepsort_tpu.config import DetectorConfig, TrackerConfig
+from yolo_deepsort_tpu.models import weights as W
+from yolo_deepsort_tpu.models.darknet import build_network
+from yolo_deepsort_tpu.models.reid import random_reid_params
+from yolo_deepsort_tpu.parallel.streams import (
+    fused_frame_step,
+    init_stream_states,
+    make_batched_step,
+    make_sharded_step,
+    make_stream_mesh,
+)
+from yolo_deepsort_tpu.train.reid_train import (
+    init_train_params,
+    make_train_step,
+    reid_train_apply,
+)
+
+DET_CFG = DetectorConfig(img_size=96, conf_thres=0.4, nms_thres=0.4, max_boxes=64)
+TRK_CFG = TrackerConfig(max_tracks=16, max_dets=8, nn_budget=5)
+FRAME_HW = (64, 96)
+
+
+@pytest.fixture(scope="module")
+def small_net():
+    plan = build_network(yolov3_tiny(img_size=96))
+    det_params = W.fold_inference_params(
+        W.random_raw_params(plan.defs(), seed=0), plan.defs()
+    )
+    reid_params = random_reid_params(seed=0)
+    return plan, det_params, reid_params
+
+
+def test_batched_step_equals_per_stream(small_net):
+    """vmap over streams must equal running each stream separately."""
+    plan, det_params, reid_params = small_net
+    s = 3
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (s, *FRAME_HW, 3), dtype=np.uint8)
+    states = init_stream_states(TRK_CFG, s)
+    step = make_batched_step(plan, DET_CFG, TRK_CFG, FRAME_HW,
+                             donate_state=False)
+    new_states, (outputs, emit) = step(det_params, reid_params, states,
+                                       jnp.asarray(frames))
+    for i in range(s):
+        st_i = jax.tree_util.tree_map(lambda x: x[i], states)
+        st1, (out1, emit1) = fused_frame_step(
+            plan, DET_CFG, TRK_CFG, FRAME_HW, det_params, reid_params,
+            st_i, jnp.asarray(frames[i]),
+        )
+        # vmapped and unbatched XLA graphs are not bit-identical (conv
+        # batching differs); ids must match exactly, boxes within 2px
+        np.testing.assert_array_equal(
+            np.asarray(outputs[i])[:, 4], np.asarray(out1)[:, 4]
+        )
+        np.testing.assert_allclose(
+            np.asarray(outputs[i])[:, :4], np.asarray(out1)[:, :4], atol=2
+        )
+        np.testing.assert_array_equal(np.asarray(emit[i]), np.asarray(emit1))
+
+
+def test_sharded_step_runs_on_virtual_mesh(small_net):
+    plan, det_params, reid_params = small_net
+    n = len(jax.devices())
+    assert n == 8, "conftest should provide 8 virtual CPU devices"
+    mesh = make_stream_mesh(n)
+    step = make_sharded_step(mesh, plan, DET_CFG, TRK_CFG, FRAME_HW)
+    states = init_stream_states(TRK_CFG, n)
+    sharded = NamedSharding(mesh, P("stream"))
+    states = jax.device_put(states, sharded)
+    frames = jax.device_put(
+        jnp.zeros((n, *FRAME_HW, 3), jnp.uint8), sharded
+    )
+    new_states, (outputs, emit) = step(det_params, reid_params, states, frames)
+    assert outputs.shape == (n, TRK_CFG.max_tracks, 5)
+    # sharding preserved on outputs
+    assert outputs.sharding.spec == P("stream")
+
+
+def test_reid_train_step_learns():
+    """A few SGD steps on a toy 2-class problem must reduce the loss."""
+    params, stats = init_train_params(num_classes=2, seed=0)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    stats = jax.tree_util.tree_map(jnp.asarray, stats)
+    opt_init, train_step = make_train_step(lr=0.01)
+    opt_state = opt_init(params)
+    step = jax.jit(train_step)
+
+    rng = np.random.default_rng(0)
+    # class 0: dark images, class 1: bright images
+    images = np.concatenate(
+        [rng.uniform(-1, -0.2, (8, 128, 64, 3)), rng.uniform(0.2, 1, (8, 128, 64, 3))]
+    ).astype(np.float32)
+    labels = np.array([0] * 8 + [1] * 8, np.int32)
+
+    losses = []
+    for _ in range(5):
+        params, opt_state, stats, loss, acc = step(
+            params, opt_state, stats, images, labels
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+def test_reid_train_eval_mode_uses_running_stats():
+    params, stats = init_train_params(num_classes=4, seed=1)
+    x = np.random.default_rng(2).normal(0, 1, (2, 128, 64, 3)).astype(np.float32)
+    logits1, s1 = reid_train_apply(params, stats, x, train=False)
+    logits2, s2 = reid_train_apply(params, stats, x, train=False)
+    np.testing.assert_array_equal(np.asarray(logits1), np.asarray(logits2))
+    # eval mode must not mutate stats
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        s1, stats,
+    )
+
+
+def test_dp_sharded_train_step_matches_single_device():
+    """dp-sharded batch must produce the same loss as unsharded (global BN)."""
+    params, stats = init_train_params(num_classes=4, seed=3)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    stats = jax.tree_util.tree_map(jnp.asarray, stats)
+    opt_init, train_step = make_train_step(lr=0.1)
+    opt_state = opt_init(params)
+
+    rng = np.random.default_rng(4)
+    images = rng.normal(0, 1, (8, 128, 64, 3)).astype(np.float32)
+    labels = rng.integers(0, 4, 8).astype(np.int32)
+
+    _, _, _, loss_single, _ = jax.jit(train_step)(
+        params, opt_state, stats, images, labels
+    )
+
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    sharded = NamedSharding(mesh, P("dp"))
+    rep = NamedSharding(mesh, P())
+    params_s = jax.device_put(params, rep)
+    stats_s = jax.device_put(stats, rep)
+    opt_s = jax.device_put(opt_state, rep)
+    images_s = jax.device_put(images, sharded)
+    labels_s = jax.device_put(labels, sharded)
+    _, _, _, loss_dp, _ = jax.jit(train_step)(
+        params_s, opt_s, stats_s, images_s, labels_s
+    )
+    np.testing.assert_allclose(float(loss_dp), float(loss_single), rtol=1e-5)

@@ -1,0 +1,450 @@
+"""Public API mirroring the reference's surface (SURVEY.md section 0):
+``Darknet``, ``ImageDetector``, ``VideoDetector``, ``VideoTracker``,
+``DeepSort.update(bbox_xywh, confidences, ori_img) -> [x1,y1,x2,y2,track_id]``.
+
+Reference call sites: yolo3/models.py Darknet, yolo3/detect/img_detect.py,
+yolo3/detect/video_detect.py, the VideoTracker entry point, and
+deep_sort/deep_sort.py.
+
+TPU-first: each wrapper owns jitted device functions specialized per frame
+geometry; the ``VideoTracker`` hot path runs letterbox -> backbone -> NMS ->
+crop-embed -> tracker association as ONE compiled step with no host
+round-trips (the reference does four per frame, SURVEY.md section 3.1)."""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cfg import COCO_NAMES, load_classes, parse_model_config
+from .cfg.architectures import ARCHITECTURES
+from .config import DetectorConfig, TrackerConfig
+from .models import weights as W
+from .models.darknet import NetworkPlan, build_network, network_apply
+from .models.reid import load_reid_checkpoint, random_reid_params, reid_apply
+from .ops import boxes as B
+from .ops.crops import crop_and_normalize
+from .ops.letterbox import letterbox, rescale_boxes
+from .ops.nms import batched_nms, roi_nms_mask
+from .tracking.tracker import TrackerState, init_tracker_state, tracker_step
+
+
+class Darknet:
+    """cfg-driven detector model (reference: yolo3/models.py Darknet).
+
+    ``source`` is a .cfg path or a built-in architecture name
+    ('yolov3', 'yolov3-tiny', 'yolov4')."""
+
+    def __init__(self, source: str, img_size: Optional[int] = None,
+                 num_classes: int = 80):
+        if source in ARCHITECTURES:
+            module_defs = ARCHITECTURES[source](
+                num_classes=num_classes, img_size=img_size or
+                (608 if source == "yolov4" else 416))
+        else:
+            module_defs = parse_model_config(source)
+        self.plan: NetworkPlan = build_network(module_defs, img_size=img_size)
+        self.img_size = self.plan.img_size
+        self.num_classes = self.plan.num_classes
+        self.header = np.array([0, 2, 0, 0, 0], np.int32)
+        self.raw_params: W.RawParams = W.random_raw_params(self.plan.defs())
+        self.params: W.InferenceParams = W.fold_inference_params(
+            self.raw_params, self.plan.defs()
+        )
+        self._forward = jax.jit(
+            lambda p, x: network_apply(self.plan, p, x)
+        )
+
+    def load_darknet_weights(self, weights_path: str, cutoff: int | None = None):
+        header, raw = W.load_darknet_weights(
+            weights_path, self.plan.defs(), cutoff=cutoff
+        )
+        self.header = header
+        self.raw_params.update(raw)
+        self.params = W.fold_inference_params(self.raw_params, self.plan.defs())
+        return self
+
+    def save_darknet_weights(self, path: str, cutoff: int | None = None):
+        W.save_darknet_weights(
+            path, self.header, self.raw_params, self.plan.defs(), cutoff=cutoff
+        )
+
+    def __call__(self, x_nhwc: jnp.ndarray) -> jnp.ndarray:
+        """Forward pass on letterboxed input; returns decoded detections
+        (N, total_boxes, 5+C) in network-input pixels."""
+        return self._forward(self.params, x_nhwc)
+
+
+class ImageDetector:
+    """Single-image detection wrapper (reference: yolo3/detect/img_detect.py).
+
+    ``detect`` returns (K, 7) float rows (x1, y1, x2, y2, obj_conf, cls_conf,
+    cls_pred) in ORIGINAL image coordinates."""
+
+    def __init__(
+        self,
+        model: Darknet,
+        class_names: Optional[Sequence[str]] = None,
+        conf_thres: float = 0.5,
+        nms_thres: float = 0.4,
+        max_dets: int = 64,
+        interp: str = "bilinear",
+    ):
+        self.model = model
+        self.class_names = list(class_names) if class_names else list(COCO_NAMES)
+        self.cfg = DetectorConfig(
+            img_size=model.img_size, conf_thres=conf_thres, nms_thres=nms_thres,
+            max_dets=max_dets,
+        )
+        self.interp = interp
+        self._steps: Dict[Tuple[int, int], callable] = {}
+
+    def _step_for(self, h: int, w: int):
+        key = (h, w)
+        if key not in self._steps:
+            cfg = self.cfg
+            size = cfg.img_size
+
+            @jax.jit
+            def step(params, frame):
+                x = letterbox(frame, size, interp=self.interp)[None]
+                dets = network_apply(self.model.plan, params, x)
+                boxes7, mask = batched_nms(
+                    dets, cfg.conf_thres, cfg.nms_thres, cfg.max_boxes,
+                    cfg.max_dets,
+                )
+                boxes7 = boxes7[0]
+                orig = rescale_boxes(boxes7[:, :4], size, h, w)
+                return jnp.concatenate([orig, boxes7[:, 4:]], axis=1), mask[0]
+
+            self._steps[key] = step
+        return self._steps[key]
+
+    def detect(self, img_rgb: np.ndarray) -> np.ndarray:
+        h, w = img_rgb.shape[:2]
+        step = self._step_for(h, w)
+        boxes, mask = step(self.model.params, img_rgb)
+        return np.asarray(boxes)[np.asarray(mask)]
+
+    def draw(self, img_rgb: np.ndarray, detections: np.ndarray) -> np.ndarray:
+        return draw_detections(img_rgb, detections, self.class_names)
+
+
+class VideoDetector:
+    """Video detection loop (reference: yolo3/detect/video_detect.py).
+
+    A generator yielding (annotated_frame_bgr, detections); supports
+    ``skip_frames`` (detect every Nth frame, reuse boxes between), optional
+    mp4 output and live display, FPS overlay."""
+
+    def __init__(self, image_detector: ImageDetector):
+        self.detector = image_detector
+
+    def detect(
+        self,
+        video_path: str | int,
+        output_path: Optional[str] = None,
+        real_show: bool = False,
+        skip_frames: int = 0,
+    ):
+        from .runtime.video import VideoSource, VideoWriter, show_frame
+
+        source = VideoSource(video_path)
+        writer = VideoWriter(output_path, source.fps, source.size) if output_path else None
+        detections = np.zeros((0, 7), np.float32)
+        t_last = time.time()
+        try:
+            for i, frame_bgr in enumerate(source):
+                frame_rgb = frame_bgr[:, :, ::-1]
+                if skip_frames <= 0 or i % (skip_frames + 1) == 0:
+                    detections = self.detector.detect(np.ascontiguousarray(frame_rgb))
+                annotated = draw_detections(
+                    np.ascontiguousarray(frame_rgb), detections,
+                    self.detector.class_names,
+                )
+                now = time.time()
+                fps = 1.0 / max(now - t_last, 1e-6)
+                t_last = now
+                annotated = draw_fps(annotated, fps)
+                out_bgr = np.ascontiguousarray(annotated[:, :, ::-1])
+                if writer:
+                    writer.write(out_bgr)
+                if real_show:
+                    show_frame(out_bgr)
+                yield annotated, detections
+        finally:
+            source.release()
+            if writer:
+                writer.release()
+
+
+class DeepSort:
+    """Reference-compatible tracking facade (deep_sort/deep_sort.py).
+
+    ``update(bbox_xywh, confidences, ori_img)`` takes (cx, cy, w, h) pixel
+    boxes and returns int rows [x1, y1, x2, y2, track_id]."""
+
+    def __init__(
+        self,
+        model_path: Optional[str] = None,
+        max_dist: float = 0.2,
+        min_confidence: float = 0.3,
+        nms_max_overlap: float = 1.0,
+        max_iou_distance: float = 0.7,
+        max_age: int = 70,
+        n_init: int = 3,
+        nn_budget: int = 100,
+        use_cuda: bool = True,  # accepted for API compat; device is jax's
+        max_tracks: int = 128,
+        max_dets: int = 64,
+    ):
+        del use_cuda
+        self.cfg = TrackerConfig(
+            max_tracks=max_tracks,
+            max_dets=max_dets,
+            nn_budget=nn_budget,
+            max_dist=max_dist,
+            min_confidence=min_confidence,
+            nms_max_overlap=nms_max_overlap,
+            max_iou_distance=max_iou_distance,
+            max_age=max_age,
+            n_init=n_init,
+        )
+        if model_path and os.path.exists(model_path):
+            self.reid_params = load_reid_checkpoint(model_path)
+        else:
+            self.reid_params = random_reid_params(seed=0)
+        self.state: TrackerState = init_tracker_state(self.cfg)
+        self._steps: Dict[Tuple[int, int], callable] = {}
+
+    def reset(self):
+        self.state = init_tracker_state(self.cfg)
+
+    def _step_for(self, h: int, w: int):
+        key = (h, w)
+        if key not in self._steps:
+            cfg = self.cfg
+
+            @jax.jit
+            def step(reid_params, state, frame_rgb, tlwh, conf, mask):
+                xyxy = B.tlwh_to_xyxy(tlwh)
+                crops = crop_and_normalize(frame_rgb, xyxy)
+                feats = reid_apply(reid_params, crops)
+                if cfg.nms_max_overlap < 1.0:
+                    keep = roi_nms_mask(tlwh, conf, mask, cfg.nms_max_overlap)
+                    mask2 = mask & keep
+                else:
+                    mask2 = mask
+                img_hw = jnp.array([h, w], jnp.int32)
+                return tracker_step(cfg, state, tlwh, conf, feats, mask2, img_hw)
+
+            self._steps[key] = step
+        return self._steps[key]
+
+    def update(
+        self,
+        bbox_xywh: np.ndarray,
+        confidences: Sequence[float],
+        ori_img: np.ndarray,
+    ) -> np.ndarray:
+        h, w = ori_img.shape[:2]
+        d = self.cfg.max_dets
+        n = min(len(confidences), d)
+        bbox_xywh = np.asarray(bbox_xywh, np.float32).reshape(-1, 4)[:n]
+        tlwh = np.zeros((d, 4), np.float32)
+        tlwh[:n, 0] = bbox_xywh[:, 0] - bbox_xywh[:, 2] / 2
+        tlwh[:n, 1] = bbox_xywh[:, 1] - bbox_xywh[:, 3] / 2
+        tlwh[:n, 2:] = bbox_xywh[:, 2:]
+        conf = np.zeros((d,), np.float32)
+        conf[:n] = np.asarray(confidences, np.float32)[:n]
+        mask = np.zeros((d,), bool)
+        mask[:n] = True
+
+        step = self._step_for(h, w)
+        self.state, outputs, emit = step(
+            self.reid_params, self.state, np.ascontiguousarray(ori_img),
+            tlwh, conf, mask,
+        )
+        out = np.asarray(outputs)[np.asarray(emit)]
+        return out.astype(np.int64) if len(out) else np.zeros((0, 5), np.int64)
+
+
+class VideoTracker:
+    """Detection + DeepSORT tracking over video (the reference's tracking
+    entry point, SURVEY.md section 3.1). The per-frame compute -- letterbox,
+    backbone, NMS, crop-embed, association -- is ONE jitted device step."""
+
+    def __init__(
+        self,
+        model: Darknet,
+        reid_model_path: Optional[str] = None,
+        class_names: Optional[Sequence[str]] = None,
+        tracked_classes: Optional[Iterable[str]] = ("person",),
+        conf_thres: float = 0.5,
+        nms_thres: float = 0.4,
+        tracker_config: Optional[TrackerConfig] = None,
+    ):
+        self.model = model
+        self.class_names = list(class_names) if class_names else list(COCO_NAMES)
+        self.det_cfg = DetectorConfig(
+            img_size=model.img_size, conf_thres=conf_thres, nms_thres=nms_thres
+        )
+        self.trk_cfg = tracker_config or TrackerConfig()
+        if reid_model_path and os.path.exists(reid_model_path):
+            self.reid_params = load_reid_checkpoint(reid_model_path)
+        else:
+            self.reid_params = random_reid_params(seed=0)
+        if tracked_classes:
+            self.tracked_class_ids = np.array(
+                [self.class_names.index(c) for c in tracked_classes], np.int32
+            )
+        else:
+            self.tracked_class_ids = None
+        self.state = init_tracker_state(self.trk_cfg)
+        self._steps: Dict[Tuple[int, int], callable] = {}
+
+    def reset(self):
+        self.state = init_tracker_state(self.trk_cfg)
+
+    def _step_for(self, h: int, w: int):
+        key = (h, w)
+        if key not in self._steps:
+            det_cfg, trk_cfg = self.det_cfg, self.trk_cfg
+            size = det_cfg.img_size
+            plan = self.model.plan
+            class_ids = self.tracked_class_ids
+
+            @jax.jit
+            def step(det_params, reid_params, state, frame_rgb):
+                x = letterbox(frame_rgb, size)[None]
+                decoded = network_apply(plan, det_params, x)
+                boxes7, mask = batched_nms(
+                    decoded, det_cfg.conf_thres, det_cfg.nms_thres,
+                    det_cfg.max_boxes, trk_cfg.max_dets,
+                )
+                boxes7, mask = boxes7[0], mask[0]
+                xyxy = rescale_boxes(boxes7[:, :4], size, h, w)
+                if class_ids is not None:
+                    cls_ok = jnp.isin(
+                        boxes7[:, 6].astype(jnp.int32), jnp.asarray(class_ids)
+                    )
+                    mask = mask & cls_ok
+                # clip like the reference glue before cropping
+                x1 = jnp.clip(xyxy[:, 0], 0, w - 1)
+                y1 = jnp.clip(xyxy[:, 1], 0, h - 1)
+                x2 = jnp.clip(xyxy[:, 2], 0, w - 1)
+                y2 = jnp.clip(xyxy[:, 3], 0, h - 1)
+                tlwh = jnp.stack([x1, y1, x2 - x1, y2 - y1], axis=1)
+                crops = crop_and_normalize(
+                    frame_rgb, jnp.stack([x1, y1, x2, y2], axis=1)
+                )
+                feats = reid_apply(reid_params, crops)
+                conf = boxes7[:, 4]
+                img_hw = jnp.array([h, w], jnp.int32)
+                state, outputs, emit = tracker_step(
+                    trk_cfg, state, tlwh, conf, feats, mask, img_hw
+                )
+                return state, outputs, emit, boxes7, mask
+
+            self._steps[key] = step
+        return self._steps[key]
+
+    def track_frame(self, frame_rgb: np.ndarray) -> np.ndarray:
+        """One frame -> int rows [x1, y1, x2, y2, track_id]."""
+        h, w = frame_rgb.shape[:2]
+        step = self._step_for(h, w)
+        self.state, outputs, emit, _, _ = step(
+            self.model.params, self.reid_params, self.state,
+            np.ascontiguousarray(frame_rgb),
+        )
+        out = np.asarray(outputs)[np.asarray(emit)]
+        return out.astype(np.int64) if len(out) else np.zeros((0, 5), np.int64)
+
+    def track(
+        self,
+        video_path: str | int,
+        output_path: Optional[str] = None,
+        real_show: bool = False,
+    ):
+        """Generator over (annotated_frame_rgb, outputs)."""
+        from .runtime.video import VideoSource, VideoWriter, show_frame
+
+        source = VideoSource(video_path)
+        writer = VideoWriter(output_path, source.fps, source.size) if output_path else None
+        t_last = time.time()
+        try:
+            for frame_bgr in source:
+                frame_rgb = np.ascontiguousarray(frame_bgr[:, :, ::-1])
+                outputs = self.track_frame(frame_rgb)
+                annotated = draw_tracks(frame_rgb, outputs)
+                now = time.time()
+                annotated = draw_fps(annotated, 1.0 / max(now - t_last, 1e-6))
+                t_last = now
+                out_bgr = np.ascontiguousarray(annotated[:, :, ::-1])
+                if writer:
+                    writer.write(out_bgr)
+                if real_show:
+                    show_frame(out_bgr)
+                yield annotated, outputs
+        finally:
+            source.release()
+            if writer:
+                writer.release()
+
+
+# ---------------------------------------------------------------- drawing
+
+_PALETTE = np.array(
+    [[230, 25, 75], [60, 180, 75], [255, 225, 25], [0, 130, 200],
+     [245, 130, 48], [145, 30, 180], [70, 240, 240], [240, 50, 230],
+     [210, 245, 60], [250, 190, 212], [0, 128, 128], [220, 190, 255]],
+    np.uint8,
+)
+
+
+def _color_for(idx: int) -> Tuple[int, int, int]:
+    return tuple(int(c) for c in _PALETTE[idx % len(_PALETTE)])
+
+
+def draw_detections(
+    img_rgb: np.ndarray, detections: np.ndarray, class_names: List[str]
+) -> np.ndarray:
+    """Box + class-name overlay (reference: PIL drawing in img_detect.py)."""
+    import cv2
+
+    out = img_rgb.copy()
+    for row in detections:
+        x1, y1, x2, y2 = (int(v) for v in row[:4])
+        cls = int(row[6])
+        color = _color_for(cls)
+        cv2.rectangle(out, (x1, y1), (x2, y2), color, 2)
+        label = f"{class_names[cls]} {row[4]:.2f}"
+        cv2.putText(out, label, (x1, max(y1 - 4, 10)),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1, cv2.LINE_AA)
+    return out
+
+
+def draw_tracks(img_rgb: np.ndarray, outputs: np.ndarray) -> np.ndarray:
+    import cv2
+
+    out = img_rgb.copy()
+    for x1, y1, x2, y2, tid in outputs:
+        color = _color_for(int(tid))
+        cv2.rectangle(out, (int(x1), int(y1)), (int(x2), int(y2)), color, 2)
+        cv2.putText(out, f"id {int(tid)}", (int(x1), max(int(y1) - 4, 10)),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.6, color, 2, cv2.LINE_AA)
+    return out
+
+
+def draw_fps(img_rgb: np.ndarray, fps: float) -> np.ndarray:
+    import cv2
+
+    cv2.putText(img_rgb, f"FPS: {fps:.1f}", (10, 26),
+                cv2.FONT_HERSHEY_SIMPLEX, 0.8, (0, 255, 0), 2, cv2.LINE_AA)
+    return img_rgb

@@ -1,0 +1,158 @@
+"""Stream-parallel tracking: batch many video streams on one chip (vmap) and
+shard the stream axis across a device mesh (SURVEY.md section 2.2: the
+reference has NO parallelism; the TPU-native scale-out story is
+stream-data-parallel execution with an optional all-gathered cross-camera
+ReID gallery, section 5.8)."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import DetectorConfig, TrackerConfig
+from ..models.darknet import NetworkPlan, network_apply
+from ..models.reid import reid_apply
+from ..ops.crops import crop_and_normalize
+from ..ops.letterbox import letterbox, rescale_boxes
+from ..ops.nms import batched_nms
+from ..tracking.tracker import init_tracker_state, tracker_step
+
+
+def make_stream_mesh(n_devices: Optional[int] = None, axis: str = "stream") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def fused_frame_step(
+    plan: NetworkPlan,
+    det_cfg: DetectorConfig,
+    trk_cfg: TrackerConfig,
+    frame_hw: Tuple[int, int],
+    det_params,
+    reid_params,
+    state,
+    frame_rgb,  # (H, W, 3) uint8
+    tracked_class_ids=None,  # optional (K,) int32
+    compute_dtype=jnp.float32,
+):
+    """One stream, one frame: letterbox -> detect -> NMS -> rescale -> crop ->
+    embed -> associate. Pure function of fixed shapes; vmap over streams."""
+    h, w = frame_hw
+    size = det_cfg.img_size
+    x = letterbox(frame_rgb, size)[None]
+    decoded = network_apply(plan, det_params, x, compute_dtype=compute_dtype)
+    boxes7, mask = batched_nms(
+        decoded, det_cfg.conf_thres, det_cfg.nms_thres, det_cfg.max_boxes,
+        trk_cfg.max_dets,
+    )
+    boxes7, mask = boxes7[0], mask[0]
+    xyxy = rescale_boxes(boxes7[:, :4], size, h, w)
+    if tracked_class_ids is not None:
+        mask = mask & jnp.isin(
+            boxes7[:, 6].astype(jnp.int32), jnp.asarray(tracked_class_ids)
+        )
+    x1 = jnp.clip(xyxy[:, 0], 0, w - 1)
+    y1 = jnp.clip(xyxy[:, 1], 0, h - 1)
+    x2 = jnp.clip(xyxy[:, 2], 0, w - 1)
+    y2 = jnp.clip(xyxy[:, 3], 0, h - 1)
+    tlwh = jnp.stack([x1, y1, x2 - x1, y2 - y1], axis=1)
+    crops = crop_and_normalize(frame_rgb, jnp.stack([x1, y1, x2, y2], axis=1))
+    feats = reid_apply(reid_params, crops, compute_dtype=compute_dtype)
+    img_hw = jnp.array([h, w], jnp.int32)
+    state, outputs, emit = tracker_step(
+        trk_cfg, state, tlwh, boxes7[:, 4], feats, mask, img_hw
+    )
+    return state, (outputs, emit)
+
+
+def make_batched_step(
+    plan: NetworkPlan,
+    det_cfg: DetectorConfig,
+    trk_cfg: TrackerConfig,
+    frame_hw: Tuple[int, int],
+    tracked_class_ids=None,
+    compute_dtype=jnp.float32,
+    donate_state: bool = True,
+):
+    """Multi-stream step: (det_params, reid_params, states, frames (S,H,W,3))
+    -> (states, (outputs (S,T,5), emit (S,T))). Model params are broadcast;
+    tracker state is per-stream (vmap axis 0)."""
+
+    def step(det_params, reid_params, states, frames):
+        fn = partial(
+            fused_frame_step, plan, det_cfg, trk_cfg, frame_hw,
+            tracked_class_ids=tracked_class_ids, compute_dtype=compute_dtype,
+        )
+        return jax.vmap(
+            lambda st, fr: fn(det_params, reid_params, st, fr)
+        )(states, frames)
+
+    donate = (2,) if donate_state else ()
+    return jax.jit(step, donate_argnums=donate)
+
+
+def make_sharded_step(
+    mesh: Mesh,
+    plan: NetworkPlan,
+    det_cfg: DetectorConfig,
+    trk_cfg: TrackerConfig,
+    frame_hw: Tuple[int, int],
+    tracked_class_ids=None,
+    compute_dtype=jnp.float32,
+    axis: str = "stream",
+):
+    """Multi-chip: shard the stream axis of (states, frames) over the mesh.
+    Model params are replicated; each chip runs its streams' full pipeline
+    locally (zero collectives on the hot path -- the shared-gallery variant
+    adds one all_gather, see shared_gallery_distance)."""
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P(axis))
+
+    def step(det_params, reid_params, states, frames):
+        fn = partial(
+            fused_frame_step, plan, det_cfg, trk_cfg, frame_hw,
+            tracked_class_ids=tracked_class_ids, compute_dtype=compute_dtype,
+        )
+        return jax.vmap(
+            lambda st, fr: fn(det_params, reid_params, st, fr)
+        )(states, frames)
+
+    state_shard = jax.tree_util.tree_map(lambda _: sharded, _state_struct(trk_cfg))
+    out_shard = (
+        state_shard,
+        (sharded, sharded),
+    )
+    return jax.jit(
+        step,
+        in_shardings=(replicated, replicated, state_shard, sharded),
+        out_shardings=out_shard,
+    )
+
+
+def _state_struct(trk_cfg: TrackerConfig):
+    return init_tracker_state(trk_cfg)
+
+
+def init_stream_states(trk_cfg: TrackerConfig, n_streams: int):
+    """Stacked per-stream tracker states with disjoint id spaces would need
+    id offsetting at read-out; ids are per-stream (like running the reference
+    once per video)."""
+    one = init_tracker_state(trk_cfg)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (n_streams,) + x.shape), one
+    )
+
+
+def shared_gallery_distance(local_feats: jnp.ndarray, axis: str = "stream"):
+    """Cross-camera shared-gallery helper (BASELINE config 5): all_gather the
+    per-chip ReID features over the ICI mesh so every stream can match
+    against every camera's gallery. Call inside shard_map/jit with the mesh
+    axis in scope."""
+    return jax.lax.all_gather(local_feats, axis, tiled=True)
