@@ -15,9 +15,11 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-REID_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
-REID_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+# plain numpy so importing this module never initializes a jax backend
+REID_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+REID_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 CROP_H, CROP_W = 128, 64
 
 

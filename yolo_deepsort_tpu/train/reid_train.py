@@ -114,9 +114,11 @@ def _bn(x, bn_params, stats, train: bool):
     return out, new_stats
 
 
-def reid_train_apply(params, stats, x, train: bool = True):
+def reid_train_apply(params, stats, x, train: bool = True,
+                     features_only: bool = False):
     """Forward with explicit BN. x (N, 128, 64, 3). Returns (logits,
-    new_stats)."""
+    new_stats); with ``features_only`` returns (L2-normed 512-d features,
+    new_stats) -- the reid=True head of the reference Net."""
     new_stats = {"layers": []}
     out = _conv(x, params["stem"]["w"], 1, 1) + params["stem"]["b"]
     out, new_stats["stem"] = _bn(out, params["stem"]["bn"], stats["stem"], train)
@@ -147,6 +149,10 @@ def reid_train_apply(params, stats, x, train: bool = True):
         new_stats["layers"].append(nblocks)
 
     feat = jnp.mean(out, axis=(1, 2))  # (N, 512)
+    if features_only:
+        new_stats["classifier"] = stats["classifier"]
+        norm = jnp.maximum(jnp.linalg.norm(feat, axis=1, keepdims=True), 1e-12)
+        return feat / norm, new_stats
     c = params["classifier"]
     h = feat @ c["fc1_w"] + c["fc1_b"]
     # BatchNorm1d on (N, 256)
