@@ -153,3 +153,25 @@ def test_dp_sharded_train_step_matches_single_device():
         params_s, opt_s, stats_s, images_s, labels_s
     )
     np.testing.assert_allclose(float(loss_dp), float(loss_single), rtol=1e-5)
+
+
+def test_stream_failure_isolation(small_net):
+    """A stream with frame_valid=False keeps its tracker state frozen while
+    other streams advance (SURVEY.md section 5.3)."""
+    plan, det_params, reid_params = small_net
+    s = 2
+    step = make_batched_step(plan, DET_CFG, TRK_CFG, FRAME_HW,
+                             donate_state=False, with_validity=True)
+    states = init_stream_states(TRK_CFG, s)
+    frames = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (s, *FRAME_HW, 3),
+                                          dtype=np.uint8)
+    )
+    valid = np.array([True, False])
+    new_states, (outputs, emit) = step(det_params, reid_params, states,
+                                       frames, valid)
+    # stream 1 state is bit-identical to its initial state
+    for a, b in zip(jax.tree_util.tree_leaves(new_states),
+                    jax.tree_util.tree_leaves(states)):
+        np.testing.assert_array_equal(np.asarray(a)[1], np.asarray(b)[1])
+    assert not np.asarray(emit)[1].any()

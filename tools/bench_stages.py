@@ -71,12 +71,24 @@ def main():
         b7, m = batched_nms(d, 0.5, 0.4, det_cfg.max_boxes, trk_cfg.max_dets)
         return jnp.sum(b7) + jnp.sum(m), states
 
+    def stage_crops_only(dp, rp, frames, states):
+        x = jax.vmap(lambda f: letterbox(f, SIZE))(frames)
+        d = network_apply(plan, dp, x, compute_dtype=jnp.bfloat16)
+        b7, m = batched_nms(d, 0.5, 0.4, det_cfg.max_boxes, trk_cfg.max_dets)
+        xyxy = jax.vmap(lambda b: rescale_boxes(b[:, :4], SIZE, H, W_))(b7)
+        crops = jax.vmap(
+            lambda f, b: crop_and_normalize(f, b, compute_dtype=jnp.bfloat16)
+        )(frames, xyxy)
+        return jnp.sum(crops), states
+
     def stage_crops_reid(dp, rp, frames, states):
         x = jax.vmap(lambda f: letterbox(f, SIZE))(frames)
         d = network_apply(plan, dp, x, compute_dtype=jnp.bfloat16)
         b7, m = batched_nms(d, 0.5, 0.4, det_cfg.max_boxes, trk_cfg.max_dets)
         xyxy = jax.vmap(lambda b: rescale_boxes(b[:, :4], SIZE, H, W_))(b7)
-        crops = jax.vmap(crop_and_normalize)(frames, xyxy)
+        crops = jax.vmap(
+            lambda f, b: crop_and_normalize(f, b, compute_dtype=jnp.bfloat16)
+        )(frames, xyxy)
         feats = jax.vmap(
             lambda c: reid_apply(rp, c, compute_dtype=jnp.bfloat16)
         )(crops)
@@ -92,14 +104,14 @@ def main():
         x2 = jnp.clip(xyxy[..., 2], 0, W_ - 1)
         y2 = jnp.clip(xyxy[..., 3], 0, H - 1)
         tlwh = jnp.stack([x1, y1, x2 - x1, y2 - y1], axis=-1)
-        crops = jax.vmap(crop_and_normalize)(
-            frames, jnp.stack([x1, y1, x2, y2], axis=-1)
-        )
+        crops = jax.vmap(
+            lambda f, b: crop_and_normalize(f, b, compute_dtype=jnp.bfloat16)
+        )(frames, jnp.stack([x1, y1, x2, y2], axis=-1))
         feats = jax.vmap(
             lambda c: reid_apply(rp, c, compute_dtype=jnp.bfloat16)
         )(crops)
         img_hw = jnp.array([H, W_], jnp.int32)
-        states, (out, emit) = jax.vmap(
+        states, out, emit = jax.vmap(
             lambda st, t, c, f, mm: tracker_step(trk_cfg, st, t, c, f, mm, img_hw)
         )(states, tlwh, b7[..., 4], feats, m)
         return jnp.sum(out) * 1.0 + jnp.sum(feats), states
@@ -108,6 +120,7 @@ def main():
         ("letterbox only", stage_letterbox),
         ("+ forward", stage_fwd),
         ("+ nms", stage_nms),
+        ("+ crops", stage_crops_only),
         ("+ crops/reid", stage_crops_reid),
         ("+ tracker (full)", stage_full),
     ]:

@@ -178,7 +178,11 @@ def solve_cascade_assignment(
     def body(k, carry):
         return _augment_row(carry, order[k], aug_cost, max_distance)
 
-    row_assign, _, _, _, _ = jax.lax.fori_loop(0, r, body, carry)
+    # dynamic trip count: only the active rows (sorted first) are augmented;
+    # padded slots never enter the loop. Under vmap this runs the max active
+    # count across the batch -- typically ~10-30 of MAX_TRACKS=128 slots.
+    n_active = jnp.sum(row_mask.astype(jnp.int32))
+    row_assign, _, _, _, _ = jax.lax.fori_loop(0, n_active, body, carry)
 
     matched = (row_assign >= 0) & (row_assign < c) & row_mask
     return jnp.where(matched, row_assign, -1).astype(jnp.int32)

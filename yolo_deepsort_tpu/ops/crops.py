@@ -5,15 +5,24 @@ Contract: SURVEY.md Appendix F (ReID crops) + section 2.3 Extractor
 integer slicing, then feature_extractor.py resizes to (64W, 128H) with cv2
 bilinear, scales /255 and ImageNet-normalizes).
 
-TPU-first: instead of D host-side crops + a ragged resize, one gather-based
-bilinear sampler maps every box to a fixed (128, 64) grid directly from the
-full frame -- vmapped over the detection axis, jit/vmap/scan-friendly, and
-the frame never leaves the device.
+TPU-first: per-pixel gather sampling is catastrophically slow on TPU (the
+VPU has no efficient random gather; measured ~35 ms/step for 8x64 crops).
+Instead, bilinear resampling is expressed as TWO MATRIX CONTRACTIONS on the
+MXU: for each box, build interpolation matrices Wy (128, H) and Wx (64, W)
+whose rows are the triangle (hat) kernel of the bilinear weights, then
+
+    crop = Wy @ frame @ Wx^T        (per channel)
+
+The matrices are constructed with pure elementwise ops (broadcasted iota,
+clip) and the contractions batch over all boxes: einsum('dxw,hwc->dhxc')
+then einsum('dyh,dhxc->dyxc') -- large, dense, bf16 MXU work instead of 25M
+scalar gathers. Sampling coordinates exactly reproduce the gather version
+(half-pixel centers, clamped inside the integer crop window), so cv2 parity
+is preserved.
 """
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,46 +32,55 @@ REID_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 CROP_H, CROP_W = 128, 64
 
 
-def _bilinear_sample(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
-    """img (H, W, C) float; ys (Oh,), xs (Ow,) source coords -> (Oh, Ow, C)."""
-    h, w = img.shape[0], img.shape[1]
-    y0 = jnp.clip(jnp.floor(ys), 0, h - 1).astype(jnp.int32)
-    x0 = jnp.clip(jnp.floor(xs), 0, w - 1).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    wy = jnp.clip(ys - y0, 0.0, 1.0)[:, None, None]
-    wx = jnp.clip(xs - x0, 0.0, 1.0)[None, :, None]
-    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
-    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
-    return top * (1 - wy) + bot * wy
+def _interp_matrix(starts, ends, limit: int, out_size: int, dtype):
+    """(D, out_size, limit) triangle-kernel interpolation weights.
+
+    Row r of matrix d holds the bilinear weights for output position r of
+    box d, sampling source coords clamped to [start, end-1] (integer crop
+    window semantics: no bleed past the slice, replicate at the edge)."""
+    starts = starts.astype(jnp.float32)
+    span = (ends - starts).astype(jnp.float32)
+    r = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) / out_size  # (O,)
+    coords = starts[:, None] + r[None, :] * span[:, None] - 0.5  # (D, O)
+    coords = jnp.clip(
+        coords, starts[:, None], jnp.maximum(ends[:, None] - 1.0, starts[:, None])
+    )
+    k = jnp.arange(limit, dtype=jnp.float32)  # (L,)
+    w = jnp.clip(1.0 - jnp.abs(coords[:, :, None] - k[None, None, :]), 0.0, 1.0)
+    # normalize: at clamped edges only one tap may fall in range
+    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-6)
+    return w.astype(dtype)
 
 
 def crop_and_normalize(
     frame_rgb: jnp.ndarray,  # (H, W, 3) uint8 or float
     boxes_xyxy: jnp.ndarray,  # (D, 4) float, already clipped to the frame
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """(D, 128, 64, 3) float32, /255 + ImageNet-normalized.
 
     Boxes are truncated to integer pixels like the reference's slicing
-    (_tlwh_to_xyxy -> int crop); degenerate boxes produce garbage pixels that
-    callers mask out downstream."""
-    img = jnp.asarray(frame_rgb).astype(jnp.float32) / 255.0
+    (_tlwh_to_xyxy -> int crop); degenerate boxes produce edge-replicated
+    pixels that callers mask out downstream."""
+    img = jnp.asarray(frame_rgb)
     h, w = img.shape[0], img.shape[1]
 
-    def one(box):
-        x1 = jnp.clip(box[0].astype(jnp.int32), 0, w - 1)
-        y1 = jnp.clip(box[1].astype(jnp.int32), 0, h - 1)
-        x2 = jnp.clip(box[2].astype(jnp.int32), x1 + 1, w)
-        y2 = jnp.clip(box[3].astype(jnp.int32), y1 + 1, h)
-        ch = (y2 - y1).astype(jnp.float32)
-        cw = (x2 - x1).astype(jnp.float32)
-        # cv2.resize INTER_LINEAR: half-pixel-center source coordinates
-        ys = y1 + (jnp.arange(CROP_H, dtype=jnp.float32) + 0.5) * ch / CROP_H - 0.5
-        xs = x1 + (jnp.arange(CROP_W, dtype=jnp.float32) + 0.5) * cw / CROP_W - 0.5
-        # clamp sampling inside the crop (slicing semantics: no bleed-over)
-        ys = jnp.clip(ys, y1, y2 - 1)
-        xs = jnp.clip(xs, x1, x2 - 1)
-        return _bilinear_sample(img, ys, xs)
+    x1 = jnp.clip(boxes_xyxy[:, 0].astype(jnp.int32), 0, w - 1)
+    y1 = jnp.clip(boxes_xyxy[:, 1].astype(jnp.int32), 0, h - 1)
+    x2 = jnp.clip(boxes_xyxy[:, 2].astype(jnp.int32), x1 + 1, w)
+    y2 = jnp.clip(boxes_xyxy[:, 3].astype(jnp.int32), y1 + 1, h)
 
-    crops = jax.vmap(one)(boxes_xyxy)  # (D, 128, 64, 3)
+    wy = _interp_matrix(y1, y2, h, CROP_H, compute_dtype)  # (D, 128, H)
+    wx = _interp_matrix(x1, x2, w, CROP_W, compute_dtype)  # (D, 64, W)
+
+    imgc = img.astype(compute_dtype)
+    # contract the (usually larger) W axis first: (D,64,W) x (H,W,C)
+    tmp = jnp.einsum(
+        "dxw,hwc->dhxc", wx, imgc, preferred_element_type=jnp.float32
+    ).astype(compute_dtype)
+    crops = jnp.einsum(
+        "dyh,dhxc->dyxc", wy, tmp, preferred_element_type=jnp.float32
+    )  # (D, 128, 64, 3) f32
+
+    crops = crops / 255.0
     return (crops - REID_MEAN) / REID_STD

@@ -58,8 +58,13 @@ def _nms_single(
     out = jnp.zeros((max_dets, 7), jnp.float32)
     out_mask = jnp.zeros((max_dets,), bool)
 
-    def body(i, carry):
-        alive, out, out_mask = carry
+    def cond(carry):
+        i, alive, _, _ = carry
+        # early exit when nothing is left alive (vmapped: max across batch)
+        return (i < max_dets) & jnp.any(alive)
+
+    def body(carry):
+        i, alive, out, out_mask = carry
         any_alive = jnp.any(alive)
         top = jnp.argmax(alive)  # first alive index == best score alive
         invalid = suppress[top] & alive  # includes `top` itself
@@ -77,9 +82,11 @@ def _nms_single(
         out = jnp.where(any_alive, out.at[i].set(row), out)
         out_mask = out_mask.at[i].set(any_alive)
         alive = alive & ~invalid
-        return alive, out, out_mask
+        return i + 1, alive, out, out_mask
 
-    _, out, out_mask = jax.lax.fori_loop(0, max_dets, body, (alive, out, out_mask))
+    _, _, out, out_mask = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), alive, out, out_mask)
+    )
     return out, out_mask
 
 

@@ -63,7 +63,10 @@ def fused_frame_step(
     x2 = jnp.clip(xyxy[:, 2], 0, w - 1)
     y2 = jnp.clip(xyxy[:, 3], 0, h - 1)
     tlwh = jnp.stack([x1, y1, x2 - x1, y2 - y1], axis=1)
-    crops = crop_and_normalize(frame_rgb, jnp.stack([x1, y1, x2, y2], axis=1))
+    crops = crop_and_normalize(
+        frame_rgb, jnp.stack([x1, y1, x2, y2], axis=1),
+        compute_dtype=compute_dtype,
+    )
     feats = reid_apply(reid_params, crops, compute_dtype=compute_dtype)
     img_hw = jnp.array([h, w], jnp.int32)
     state, outputs, emit = tracker_step(
@@ -80,12 +83,19 @@ def make_batched_step(
     tracked_class_ids=None,
     compute_dtype=jnp.float32,
     donate_state: bool = True,
+    with_validity: bool = False,
 ):
     """Multi-stream step: (det_params, reid_params, states, frames (S,H,W,3))
     -> (states, (outputs (S,T,5), emit (S,T))). Model params are broadcast;
-    tracker state is per-stream (vmap axis 0)."""
+    tracker state is per-stream (vmap axis 0).
 
-    def step(det_params, reid_params, states, frames):
+    ``with_validity`` adds a (S,) bool ``frame_valid`` argument implementing
+    per-stream failure isolation (SURVEY.md section 5.3): a stream whose
+    decode failed this step keeps its tracker state UNCHANGED (no aging, no
+    deletions -- the frame simply never happened) and emits nothing, while
+    healthy streams proceed normally."""
+
+    def run(det_params, reid_params, states, frames):
         fn = partial(
             fused_frame_step, plan, det_cfg, trk_cfg, frame_hw,
             tracked_class_ids=tracked_class_ids, compute_dtype=compute_dtype,
@@ -94,8 +104,22 @@ def make_batched_step(
             lambda st, fr: fn(det_params, reid_params, st, fr)
         )(states, frames)
 
-    donate = (2,) if donate_state else ()
-    return jax.jit(step, donate_argnums=donate)
+    if not with_validity:
+        return jax.jit(run, donate_argnums=(2,) if donate_state else ())
+
+    def step(det_params, reid_params, states, frames, frame_valid):
+        new_states, (outputs, emit) = run(det_params, reid_params, states, frames)
+        kept = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(
+                frame_valid.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+            ),
+            new_states,
+            states,
+        )
+        emit = emit & frame_valid[:, None]
+        return kept, (outputs, emit)
+
+    return jax.jit(step, donate_argnums=(2,) if donate_state else ())
 
 
 def make_sharded_step(
