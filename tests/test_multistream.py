@@ -1,0 +1,55 @@
+"""Multi-stream tracking runtime: 2 videos through the batched device step."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from yolo_deepsort_tpu.api import Darknet  # noqa: E402
+from yolo_deepsort_tpu.config import DetectorConfig, TrackerConfig  # noqa: E402
+from yolo_deepsort_tpu.models.reid import random_reid_params  # noqa: E402
+from yolo_deepsort_tpu.runtime import native  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native frame_ring unavailable"
+)
+
+
+def _write_clip(path, n, h, w, base):
+    from yolo_deepsort_tpu.runtime.video import VideoWriter
+
+    wri = VideoWriter(str(path), 10.0, (w, h))
+    for t in range(n):
+        wri.write(np.full((h, w, 3), (base + 10 * t) % 255, np.uint8))
+    wri.release()
+
+
+def test_multistream_runs_and_isolates(tmp_path):
+    from yolo_deepsort_tpu.runtime.multistream import MultiStreamTracker
+
+    h, w = 64, 96
+    p1, p2 = tmp_path / "a.mp4", tmp_path / "b.mp4"
+    _write_clip(p1, 6, h, w, 20)
+    _write_clip(p2, 3, h, w, 120)  # shorter stream finishes first
+
+    model = Darknet("yolov3-tiny", img_size=96)
+    mst = MultiStreamTracker(
+        model,
+        [str(p1), str(p2)],
+        random_reid_params(0),
+        (h, w),
+        tracker_config=TrackerConfig(max_tracks=8, max_dets=4, nn_budget=4),
+        det_config=DetectorConfig(img_size=96, conf_thres=0.6),
+        half=False,
+        ring_depth=4,
+    )
+    steps = 0
+    saw_partial = False
+    for outputs, emit, valid in mst.run(max_steps=20):
+        steps += 1
+        assert outputs.shape == (2, 8, 5)
+        if valid[0] and not valid[1]:
+            saw_partial = True
+    assert steps >= 6  # at least as many steps as the longest clip
+    assert saw_partial  # stream 2 ended early; isolation path exercised
+    mst.close()

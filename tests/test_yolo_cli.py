@@ -1,0 +1,117 @@
+"""YOLO detection training CLI: smoke train on a tiny cfg + weight export
+round-trip (stock .weights out)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+TINY_CFG = """[net]
+batch=4
+width=64
+height=64
+channels=3
+learning_rate=0.0005
+burn_in=2
+momentum=0.9
+decay=0.0005
+steps=100000
+scales=.1
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+filters=21
+size=1
+stride=1
+pad=1
+activation=linear
+
+[yolo]
+mask=0,1,2
+anchors=8,8, 16,16, 32,32
+classes=2
+num=3
+jitter=.3
+ignore_thresh=.5
+truth_thresh=1
+random=1
+"""
+
+
+def test_yolo_cli_trains_and_exports(tmp_path):
+    cfg = tmp_path / "tiny.cfg"
+    cfg.write_text(TINY_CFG)
+
+    img_dir = tmp_path / "images"
+    lbl_dir = tmp_path / "labels"
+    img_dir.mkdir()
+    lbl_dir.mkdir()
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(8):
+        p = img_dir / f"im{i}.jpg"
+        Image.fromarray(
+            rng.integers(0, 256, (64, 64, 3), np.uint8)
+        ).save(p)
+        (lbl_dir / f"im{i}.txt").write_text("0 0.5 0.5 0.3 0.3\n1 0.2 0.3 0.1 0.2")
+        paths.append(str(p))
+    lst = tmp_path / "train.txt"
+    lst.write_text("\n".join(paths))
+
+    ckpt = tmp_path / "yolo.npz"
+    out_weights = tmp_path / "out.weights"
+    r = subprocess.run(
+        [sys.executable, "-m", "yolo_deepsort_tpu.train.yolo_cli",
+         "--cfg", str(cfg), "--data", str(lst), "--epochs", "2",
+         "--batch-size", "4", "--max-targets", "16",
+         "--ckpt", str(ckpt), "--export-weights", str(out_weights),
+         "--log-interval", "1"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    assert r.returncode == 0, r.stderr[-2500:]
+    assert ckpt.exists() and out_weights.exists()
+
+    # exported weights load back through the standard loader AND into the
+    # inference model
+    from yolo_deepsort_tpu.api import Darknet
+    from yolo_deepsort_tpu.cfg import parse_model_config
+    from yolo_deepsort_tpu.models.weights import load_darknet_weights
+
+    defs = parse_model_config(cfg)[1:]
+    header, raw = load_darknet_weights(str(out_weights), defs)
+    assert header[3] == 2 * 8  # seen counter = epochs * images
+    model = Darknet(str(cfg))
+    model.load_darknet_weights(str(out_weights))
+    x = np.zeros((1, 64, 64, 3), np.float32)
+    dets = np.asarray(model(x))
+    assert dets.shape == (1, 3 * 8 * 8, 7)
+    assert np.isfinite(dets).all()

@@ -95,13 +95,16 @@ class ImageDetector:
         nms_thres: float = 0.4,
         max_dets: int = 64,
         interp: str = "bilinear",
+        half: bool = False,
     ):
         self.model = model
         self.class_names = list(class_names) if class_names else list(COCO_NAMES)
         self.cfg = DetectorConfig(
             img_size=model.img_size, conf_thres=conf_thres, nms_thres=nms_thres,
-            max_dets=max_dets,
+            max_dets=max_dets, half=half,
         )
+        # the reference's fp16 `half` flag -> bfloat16 on TPU
+        self.compute_dtype = jnp.bfloat16 if half else jnp.float32
         self.interp = interp
         self._steps: Dict[Tuple[int, int], callable] = {}
 
@@ -114,7 +117,8 @@ class ImageDetector:
             @jax.jit
             def step(params, frame):
                 x = letterbox(frame, size, interp=self.interp)[None]
-                dets = network_apply(self.model.plan, params, x)
+                dets = network_apply(self.model.plan, params, x,
+                                     compute_dtype=self.compute_dtype)
                 boxes7, mask = batched_nms(
                     dets, cfg.conf_thres, cfg.nms_thres, cfg.max_boxes,
                     cfg.max_dets,
@@ -289,12 +293,15 @@ class VideoTracker:
         conf_thres: float = 0.5,
         nms_thres: float = 0.4,
         tracker_config: Optional[TrackerConfig] = None,
+        half: bool = False,
     ):
         self.model = model
         self.class_names = list(class_names) if class_names else list(COCO_NAMES)
         self.det_cfg = DetectorConfig(
-            img_size=model.img_size, conf_thres=conf_thres, nms_thres=nms_thres
+            img_size=model.img_size, conf_thres=conf_thres, nms_thres=nms_thres,
+            half=half,
         )
+        self.compute_dtype = jnp.bfloat16 if half else jnp.float32
         self.trk_cfg = tracker_config or TrackerConfig()
         if reid_model_path and os.path.exists(reid_model_path):
             self.reid_params = load_reid_checkpoint(reid_model_path)
@@ -320,10 +327,13 @@ class VideoTracker:
             plan = self.model.plan
             class_ids = self.tracked_class_ids
 
+            cdtype = self.compute_dtype
+
             @jax.jit
             def step(det_params, reid_params, state, frame_rgb):
                 x = letterbox(frame_rgb, size)[None]
-                decoded = network_apply(plan, det_params, x)
+                decoded = network_apply(plan, det_params, x,
+                                        compute_dtype=cdtype)
                 boxes7, mask = batched_nms(
                     decoded, det_cfg.conf_thres, det_cfg.nms_thres,
                     det_cfg.max_boxes, trk_cfg.max_dets,
@@ -342,9 +352,10 @@ class VideoTracker:
                 y2 = jnp.clip(xyxy[:, 3], 0, h - 1)
                 tlwh = jnp.stack([x1, y1, x2 - x1, y2 - y1], axis=1)
                 crops = crop_and_normalize(
-                    frame_rgb, jnp.stack([x1, y1, x2, y2], axis=1)
+                    frame_rgb, jnp.stack([x1, y1, x2, y2], axis=1),
+                    compute_dtype=cdtype,
                 )
-                feats = reid_apply(reid_params, crops)
+                feats = reid_apply(reid_params, crops, compute_dtype=cdtype)
                 conf = boxes7[:, 4]
                 img_hw = jnp.array([h, w], jnp.int32)
                 state, outputs, emit = tracker_step(
