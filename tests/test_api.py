@@ -140,3 +140,59 @@ def test_video_detector_generator(tiny_model, tmp_path):
     np.testing.assert_array_equal(results[0][1], results[1][1])
     import os
     assert os.path.getsize(out_path) > 0
+
+
+def test_deepsort_state_checkpoint_resume(tmp_path):
+    """Tracker runtime state checkpoint/resume through the facade: resuming
+    mid-sequence continues ids/tracks exactly (SURVEY.md section 5.4)."""
+    import numpy as np
+
+    def run(ds, frames_range, boxes_fn):
+        outs = []
+        for t in frames_range:
+            frame = paint_frame(120, 160, [boxes_fn(t)])
+            b = np.array([boxes_fn(t)[:4]], np.float32)
+            outs.append(ds.update(b, [0.9], frame))
+        return outs
+
+    box = lambda t: (40 + 5 * t, 60, 20, 40, RED)
+    ds1 = DeepSort(max_tracks=8, max_dets=4, nn_budget=5)
+    run(ds1, range(5), box)
+    path = tmp_path / "trk.npz"
+    ds1.save_state(str(path))
+    rest1 = run(ds1, range(5, 8), box)
+
+    ds2 = DeepSort(max_tracks=8, max_dets=4, nn_budget=5)
+    ds2.load_state(str(path))
+    rest2 = run(ds2, range(5, 8), box)
+    for a, b in zip(rest1, rest2):
+        np.testing.assert_array_equal(a, b)
+    assert rest2[-1][0, 4] == 1  # same id continues
+
+
+def test_tracker_step_nan_free_under_debug_nans():
+    """SURVEY.md section 5.2: masked lanes must never produce NaNs -- run a
+    step with empty and full detection sets under jax.debug_nans."""
+    import jax
+    import numpy as np
+    from functools import partial
+    from yolo_deepsort_tpu.tracking.tracker import (
+        init_tracker_state, tracker_step)
+    from yolo_deepsort_tpu.config import TrackerConfig
+
+    cfg = TrackerConfig(max_tracks=8, max_dets=4, feat_dim=8, nn_budget=4)
+    img = np.array([100, 100], np.int32)
+    with jax.debug_nans(True):
+        step = partial(tracker_step, cfg)
+        st = init_tracker_state(cfg)
+        # empty frame
+        st, *_ = step(st, np.zeros((4, 4), np.float32),
+                      np.zeros(4, np.float32), np.zeros((4, 8), np.float32),
+                      np.zeros(4, bool), img)
+        # full frame
+        tlwh = np.array([[10 * i, 10, 8, 16] for i in range(4)], np.float32)
+        feat = np.ones((4, 8), np.float32) / np.sqrt(8)
+        st, *_ = step(st, tlwh, np.full(4, 0.9, np.float32), feat,
+                      np.ones(4, bool), img)
+        st, *_ = step(st, tlwh, np.full(4, 0.9, np.float32), feat,
+                      np.ones(4, bool), img)

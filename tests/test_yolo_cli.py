@@ -66,6 +66,11 @@ random=1
 """
 
 
+@pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW"),
+    reason="subprocess jit compile of the train graph takes ~3-7 min on one "
+    "CPU core; set RUN_SLOW=1 to enable",
+)
 def test_yolo_cli_trains_and_exports(tmp_path):
     cfg = tmp_path / "tiny.cfg"
     cfg.write_text(TINY_CFG)

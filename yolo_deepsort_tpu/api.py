@@ -230,6 +230,21 @@ class DeepSort:
     def reset(self):
         self.state = init_tracker_state(self.cfg)
 
+    def save_state(self, path: str) -> None:
+        """Checkpoint the tracker runtime state (SURVEY.md section 5.4: the
+        reference never could -- its state was a Python object graph; here it
+        is a fixed-shape pytree of a few KB)."""
+        from .utils.checkpoint import save_pytree
+
+        save_pytree(path, self.state._asdict())
+
+    def load_state(self, path: str) -> None:
+        from .utils.checkpoint import load_pytree
+
+        d = load_pytree(path)
+        self.state = TrackerState(**{k: jnp.asarray(d[k])
+                                     for k in TrackerState._fields})
+
     def _step_for(self, h: int, w: int):
         key = (h, w)
         if key not in self._steps:
