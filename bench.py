@@ -33,6 +33,17 @@ def main():
     p.add_argument("--f32", action="store_true", help="disable bf16 compute")
     args = p.parse_args()
 
+    # persistent compilation cache: the fused-step compile through the axon
+    # remote-compile tunnel can take minutes; cache it across processes
+    import os
+
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
     import jax
     import jax.numpy as jnp
 

@@ -22,6 +22,7 @@ def yolo_decode(
     anchors: Sequence[Tuple[float, float]],
     num_classes: int,
     img_dim: int,
+    scale_x_y: float = 1.0,
 ) -> np.ndarray:
     """Decode one YOLO head.
 
@@ -52,8 +53,9 @@ def yolo_decode(
     anchors_arr = np.asarray(anchors, dtype=np.float64)  # (A, 2), pixels
     scaled_anchors = anchors_arr / stride  # grid units
 
-    x = sigmoid(pred[..., 0])
-    y = sigmoid(pred[..., 1])
+    # YOLOv4 center scaling: bx = s*sigma(tx) - (s-1)/2 + cx (s=1 -> v3)
+    x = sigmoid(pred[..., 0]) * scale_x_y - 0.5 * (scale_x_y - 1.0)
+    y = sigmoid(pred[..., 1]) * scale_x_y - 0.5 * (scale_x_y - 1.0)
     w = pred[..., 2]
     h = pred[..., 3]
     conf = sigmoid(pred[..., 4])

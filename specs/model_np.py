@@ -155,7 +155,10 @@ def forward(
             ]
             anchors = [all_anchors[m] for m in mask]
             num_classes = int(mdef["classes"])
-            out = yolo_decode(layer_outputs[-1], anchors, num_classes, img_dim)
+            out = yolo_decode(
+                layer_outputs[-1], anchors, num_classes, img_dim,
+                scale_x_y=float(mdef.get("scale_x_y", 1.0)),
+            )
             yolo_outputs.append(out)
         else:
             raise ValueError(f"unknown module type {t!r}")

@@ -158,3 +158,20 @@ def test_scale_x_y_decode():
     cell = raw[0, 0, 0]
     expected_x = (sigmoid(cell[0]) * 1.2 - 0.1) * 16
     assert out[0, 0, 0] == pytest.approx(expected_x, rel=1e-5)
+
+
+def test_yolov4_full_arch_parity():
+    """yolov4 (CSP routes, SPP maxpools, PAN up/down, mish, scale_x_y) at
+    64x64 input with random weights: decoded detections must match the numpy
+    oracle -- exercises every module type in the v4 graph."""
+    defs = yolov4(num_classes=2, img_size=64)[1:]
+    raw = W.random_raw_params(defs, seed=11)
+    x = np.random.default_rng(5).normal(0.45, 0.15, (1, 3, 64, 64)).astype(np.float32)
+    dets_o, _ = model_np.forward(defs, raw, x.astype(np.float64), img_dim=64)
+    _, dets_j = jax_forward(
+        [{"type": "net", "width": "64", "height": "64", "channels": "3"}] + defs,
+        raw, x, img_size=64,
+    )
+    # grids 8 (stride 8), 4, 2 with 3 anchors each
+    assert dets_o.shape == dets_j.shape == (1, 3 * (64 + 16 + 4), 7)
+    np.testing.assert_allclose(np.asarray(dets_j), dets_o, rtol=4e-3, atol=4e-3)

@@ -117,7 +117,6 @@ def main():
         return jnp.sum(out) * 1.0 + jnp.sum(feats), states
 
     for name, fn in [
-        ("letterbox only", stage_letterbox),
         ("+ forward", stage_fwd),
         ("+ nms", stage_nms),
         ("+ crops", stage_crops_only),
