@@ -30,7 +30,14 @@ def main():
     p.add_argument("--frame-w", type=int, default=1920)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--scan", type=int, default=4,
+                   help="frames scanned per device dispatch (1 = per-frame)")
+    p.add_argument("--max-dets", type=int, default=64)
     p.add_argument("--f32", action="store_true", help="disable bf16 compute")
+    p.add_argument("--no-pallas-letterbox", action="store_true",
+                   help="disable the fused Pallas letterbox kernel (default "
+                        "on; falls back to XLA automatically if the kernel "
+                        "fails to compile)")
     args = p.parse_args()
 
     # persistent compilation cache: the fused-step compile through the axon
@@ -55,6 +62,7 @@ def main():
     from yolo_deepsort_tpu.parallel.streams import (
         init_stream_states,
         make_batched_step,
+        make_scanned_step,
     )
 
     plan = build_network(ARCHITECTURES[args.model](img_size=args.img_size))
@@ -63,26 +71,54 @@ def main():
     )
     reid_params = random_reid_params(seed=0)
     det_cfg = DetectorConfig(img_size=args.img_size, conf_thres=0.5, nms_thres=0.4)
-    trk_cfg = TrackerConfig()
+    trk_cfg = TrackerConfig(max_dets=args.max_dets)
 
     compute_dtype = jnp.float32 if args.f32 else jnp.bfloat16
-    step = make_batched_step(
-        plan, det_cfg, trk_cfg, (args.frame_h, args.frame_w),
-        compute_dtype=compute_dtype,
-    )
+    k = max(args.scan, 1)
+
+    def build(use_pallas):
+        if k > 1:
+            return make_scanned_step(
+                plan, det_cfg, trk_cfg, (args.frame_h, args.frame_w), k,
+                compute_dtype=compute_dtype, use_pallas_letterbox=use_pallas,
+            )
+        return make_batched_step(
+            plan, det_cfg, trk_cfg, (args.frame_h, args.frame_w),
+            compute_dtype=compute_dtype, use_pallas_letterbox=use_pallas,
+        )
+
+    use_pallas = not args.no_pallas_letterbox
+    step = build(use_pallas)
 
     s = args.streams
     rng = np.random.default_rng(0)
+    shape = (k, s) if k > 1 else (s,)
     frames = jnp.asarray(
-        rng.integers(0, 256, (s, args.frame_h, args.frame_w, 3), dtype=np.uint8)
+        rng.integers(
+            0, 256, (*shape, args.frame_h, args.frame_w, 3), dtype=np.uint8
+        )
     )
     states = init_stream_states(trk_cfg, s)
     det_params = jax.tree_util.tree_map(jnp.asarray, det_params)
     reid_params = jax.tree_util.tree_map(jnp.asarray, reid_params)
 
-    for _ in range(args.warmup):
-        states, (outputs, emit) = step(det_params, reid_params, states, frames)
-    jax.block_until_ready(outputs)
+    try:
+        for _ in range(args.warmup):
+            states, (outputs, emit) = step(
+                det_params, reid_params, states, frames
+            )
+        jax.block_until_ready(outputs)
+    except Exception:
+        if not use_pallas:
+            raise
+        # Pallas kernel failed on this backend/geometry: fall back to XLA
+        step = build(False)
+        states = init_stream_states(trk_cfg, s)
+        for _ in range(args.warmup):
+            states, (outputs, emit) = step(
+                det_params, reid_params, states, frames
+            )
+        jax.block_until_ready(outputs)
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
@@ -90,7 +126,7 @@ def main():
     jax.block_until_ready(outputs)
     dt = time.perf_counter() - t0
 
-    fps = s * args.steps / dt
+    fps = s * k * args.steps / dt
     print(
         json.dumps(
             {

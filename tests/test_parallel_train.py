@@ -175,3 +175,35 @@ def test_stream_failure_isolation(small_net):
                     jax.tree_util.tree_leaves(states)):
         np.testing.assert_array_equal(np.asarray(a)[1], np.asarray(b)[1])
     assert not np.asarray(emit)[1].any()
+
+
+def test_scanned_step_equals_repeated_batched(small_net):
+    """K frames per dispatch via lax.scan == K sequential batched calls."""
+    from yolo_deepsort_tpu.parallel.streams import make_scanned_step
+
+    plan, det_params, reid_params = small_net
+    s, k = 2, 3
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (k, s, *FRAME_HW, 3), dtype=np.uint8)
+    states0 = init_stream_states(TRK_CFG, s)
+
+    scanned = make_scanned_step(plan, DET_CFG, TRK_CFG, FRAME_HW, k,
+                                donate_state=False)
+    st_a, (out_a, emit_a) = scanned(det_params, reid_params, states0,
+                                    jnp.asarray(frames))
+
+    batched = make_batched_step(plan, DET_CFG, TRK_CFG, FRAME_HW,
+                                donate_state=False)
+    st_b = states0
+    outs, emits = [], []
+    for t in range(k):
+        st_b, (o, e) = batched(det_params, reid_params, st_b,
+                               jnp.asarray(frames[t]))
+        outs.append(np.asarray(o))
+        emits.append(np.asarray(e))
+    np.testing.assert_array_equal(np.asarray(emit_a), np.stack(emits))
+    # ids exact; boxes may differ by 1px (scan vs unrolled conv batching)
+    np.testing.assert_array_equal(np.asarray(out_a)[..., 4],
+                                  np.stack(outs)[..., 4])
+    np.testing.assert_allclose(np.asarray(out_a)[..., :4],
+                               np.stack(outs)[..., :4], atol=2)

@@ -22,4 +22,8 @@ def __getattr__(name):  # lazy: keep `import yolo_deepsort_tpu` light
         from . import api
 
         return getattr(api, name)
+    if name in ("TrackerConfig", "DetectorConfig"):
+        from . import config
+
+        return getattr(config, name)
     raise AttributeError(name)

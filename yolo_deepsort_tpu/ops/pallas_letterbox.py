@@ -5,15 +5,19 @@ letterbox-resize/pad/normalize Pallas preprocessor"). The XLA letterbox
 (ops/letterbox.py) first materializes the padded square frame in HBM
 (1920x1920x3 for 1080p) and then resizes; this kernel streams each source
 row band HBM -> VMEM exactly once via manual async DMA, never materializes
-the padded image, and emits normalized float output directly:
+the padded image, and emits scaled float output directly.
 
-  * grid over output row tiles; each tile's source row band start is a
-    scalar-prefetch operand driving a dynamic-slice DMA from the HBM frame,
-  * inside the kernel both interpolation contractions run on the MXU:
-    rows:  (TILE, BAND) @ (BAND, W*3)   -- per-tile row weights
-    cols:  (TILE*3, W) @ (W, S)         -- shared column-weight matrix
-  * uint8 -> float conversion, /255 scaling and zero padding are fused into
-    the weight matrices (taps landing in the pad region have zero weight).
+Mosaic-friendly structure (it rejects minor-dim transposes/shape casts and
+uint8->f32 casts):
+
+  * the frame is fed PLANAR (3, H, W) -- one cheap XLA transpose outside;
+    inside, everything is per-channel 2D MXU matmuls:
+        rows = Wy_tile (TILE, BAND) @ band_c (BAND, W)
+        out  = rows @ Wx^T (W, S)
+  * uint8 widens via int32 (the supported cast chain); /255 and zero padding
+    are folded into the weight matrices (out-of-image taps have zero weight),
+  * grid over (output row tile, channel); each tile's source band start is a
+    scalar-prefetch operand driving a dynamic-slice DMA from HBM.
 
 Geometry (H, W, S) is static, so all weights/bounds are numpy at trace time.
 Matches ops/letterbox.py 'bilinear' (oracle: specs/letterbox_np.py).
@@ -51,7 +55,25 @@ def pallas_letterbox(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """(size, size, 3) float32 in [0, 1]; bilinear pad-to-square letterbox."""
-    h, w = int(frame_rgb.shape[0]), int(frame_rgb.shape[1])
+    return pallas_letterbox_batch(
+        frame_rgb[None], size=size, tile=tile, interpret=interpret
+    )[0]
+
+
+@partial(jax.jit, static_argnames=("size", "tile", "interpret"))
+def pallas_letterbox_batch(
+    frames_rgb: jnp.ndarray,  # (B, H, W, 3) uint8
+    size: int = 416,
+    tile: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched fused letterbox: (B, size, size, 3) float32.
+
+    The batch is a leading grid dimension (vmap cannot block an ANY-space
+    operand, so batching lives inside the kernel: the DMA indexes the frame
+    by the batch program id)."""
+    b = int(frames_rgb.shape[0])
+    h, w = int(frames_rgb.shape[1]), int(frames_rgb.shape[2])
     top, _, left, _ = _pad_amounts(h, w)
     side = max(h, w)
     assert size % tile == 0, (size, tile)
@@ -60,15 +82,20 @@ def pallas_letterbox(
     wy_full = _weights_1d(h, top, side, size)  # (S, H)
     wx_full = _weights_1d(w, left, side, size)  # (S, W)
 
-    # per output row tile: static-size source row band [start, start+band_len)
-    band_len = min(int(np.ceil(tile * side / size)) + 2, h)
+    # per output row tile: static-size source row band [start, start+band_len);
+    # Mosaic requires DMA slice shapes (and offsets, conservatively) aligned
+    # to the 8-row sublane tiling
+    def _align8_up(v):
+        return (v + 7) // 8 * 8
+
+    band_len = min(_align8_up(int(np.ceil(tile * side / size)) + 2 + 7), h)
     nz = wy_full > 0
     band_starts = []
     for t in range(n_tiles):
         rows = nz[t * tile : (t + 1) * tile]
         idx = np.where(rows.any(axis=0))[0]
-        start = int(idx[0]) if len(idx) else 0
-        band_starts.append(min(start, h - band_len))
+        start = (int(idx[0]) // 8 * 8) if len(idx) else 0
+        band_starts.append(max(min(start, h - band_len), 0))
     band_starts = np.asarray(band_starts, np.int32)
 
     wy_tiles = np.zeros((n_tiles, tile, band_len), np.float32)
@@ -77,47 +104,55 @@ def pallas_letterbox(
         wy_tiles[t] = wy_full[t * tile : (t + 1) * tile, s0 : s0 + band_len]
     wy_tiles /= 255.0  # fold the uint8 scale into the row weights
 
+    frames_planar = jnp.transpose(frames_rgb, (0, 3, 1, 2))  # (B, 3, H, W)
+
     def kernel(starts_ref, frame_hbm, wy_ref, wx_ref, out_ref, band_vmem, sem):
-        t = pl.program_id(0)
-        start = starts_ref[t]
+        bi = pl.program_id(0)
+        t = pl.program_id(1)
+        c = pl.program_id(2)
+        # band starts are 8-aligned by construction (see _align8 above); the
+        # hint lets Mosaic prove the DMA offset respects sublane tiling
+        start = pl.multiple_of(starts_ref[t], 8)
         dma = pltpu.make_async_copy(
-            frame_hbm.at[pl.ds(start, band_len)], band_vmem, sem
+            frame_hbm.at[bi, c, pl.ds(start, band_len)], band_vmem, sem
         )
         dma.start()
         dma.wait()
-        band = band_vmem[...].astype(jnp.float32)  # (band, W, 3)
-        bw3 = band.reshape(band_len, w * 3)
-        rows = jnp.dot(wy_ref[0], bw3, preferred_element_type=jnp.float32)
-        rows = rows.reshape(tile, w, 3).transpose(0, 2, 1).reshape(tile * 3, w)
-        cols = jnp.dot(rows, wx_ref[...], preferred_element_type=jnp.float32)
-        out_ref[...] = cols.reshape(tile, 3, size).transpose(0, 2, 1)
+        # Mosaic has no direct uint8->f32 cast; widen through int32 first
+        band = band_vmem[...].astype(jnp.int32).astype(jnp.float32)
+        rows = jnp.dot(wy_ref[0], band, preferred_element_type=jnp.float32)
+        out_ref[0, 0] = jnp.dot(
+            rows, wx_ref[...], preferred_element_type=jnp.float32
+        )  # (tile, S)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(b, n_tiles, 3),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # frame stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # planar frames stay in HBM
             pl.BlockSpec(
-                (1, tile, band_len), lambda t, starts: (t, 0, 0),
+                (1, tile, band_len), lambda bi, t, c, starts: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (w, size), lambda t, starts: (0, 0), memory_space=pltpu.VMEM
+                (w, size), lambda bi, t, c, starts: (0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (tile, size, 3), lambda t, starts: (t, 0, 0),
+            (1, 1, tile, size), lambda bi, t, c, starts: (bi, c, t, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((band_len, w, 3), jnp.uint8),
+            pltpu.VMEM((band_len, w), jnp.uint8),
             pltpu.SemaphoreType.DMA,
         ],
     )
-    return pl.pallas_call(
+    out_planar = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((size, size, 3), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 3, size, size), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(jnp.asarray(band_starts), frame_rgb, jnp.asarray(wy_tiles),
+    )(jnp.asarray(band_starts), frames_planar, jnp.asarray(wy_tiles),
       jnp.asarray(wx_full.T))
+    return jnp.transpose(out_planar, (0, 2, 3, 1))  # (B, S, S, 3)

@@ -19,6 +19,7 @@ from ..models.darknet import NetworkPlan, network_apply
 from ..models.reid import reid_apply
 from ..ops.crops import crop_and_normalize
 from ..ops.letterbox import letterbox, rescale_boxes
+from ..ops.pallas_letterbox import pallas_letterbox_batch
 from ..ops.nms import batched_nms
 from ..tracking.tracker import init_tracker_state, tracker_step
 
@@ -41,12 +42,18 @@ def fused_frame_step(
     frame_rgb,  # (H, W, 3) uint8
     tracked_class_ids=None,  # optional (K,) int32
     compute_dtype=jnp.float32,
+    letterboxed=None,  # optional precomputed (size, size, 3) input
 ):
     """One stream, one frame: letterbox -> detect -> NMS -> rescale -> crop ->
-    embed -> associate. Pure function of fixed shapes; vmap over streams."""
+    embed -> associate. Pure function of fixed shapes; vmap over streams.
+    ``letterboxed`` lets callers substitute a fused Pallas-preprocessed input
+    (the Pallas kernel batches internally and cannot live under this vmap)."""
     h, w = frame_hw
     size = det_cfg.img_size
-    x = letterbox(frame_rgb, size)[None]
+    if letterboxed is not None:
+        x = letterboxed[None]
+    else:
+        x = letterbox(frame_rgb, size)[None]
     decoded = network_apply(plan, det_params, x, compute_dtype=compute_dtype)
     boxes7, mask = batched_nms(
         decoded, det_cfg.conf_thres, det_cfg.nms_thres, det_cfg.max_boxes,
@@ -84,6 +91,7 @@ def make_batched_step(
     compute_dtype=jnp.float32,
     donate_state: bool = True,
     with_validity: bool = False,
+    use_pallas_letterbox: bool = False,
 ):
     """Multi-stream step: (det_params, reid_params, states, frames (S,H,W,3))
     -> (states, (outputs (S,T,5), emit (S,T))). Model params are broadcast;
@@ -100,6 +108,12 @@ def make_batched_step(
             fused_frame_step, plan, det_cfg, trk_cfg, frame_hw,
             tracked_class_ids=tracked_class_ids, compute_dtype=compute_dtype,
         )
+        if use_pallas_letterbox:
+            xs = pallas_letterbox_batch(frames, det_cfg.img_size)
+            return jax.vmap(
+                lambda st, fr, x: fn(det_params, reid_params, st, fr,
+                                     letterboxed=x)
+            )(states, frames, xs)
         return jax.vmap(
             lambda st, fr: fn(det_params, reid_params, st, fr)
         )(states, frames)
@@ -122,6 +136,48 @@ def make_batched_step(
     return jax.jit(step, donate_argnums=(2,) if donate_state else ())
 
 
+def make_scanned_step(
+    plan: NetworkPlan,
+    det_cfg: DetectorConfig,
+    trk_cfg: TrackerConfig,
+    frame_hw: Tuple[int, int],
+    n_frames: int,
+    tracked_class_ids=None,
+    compute_dtype=jnp.float32,
+    donate_state: bool = True,
+    use_pallas_letterbox: bool = False,
+):
+    """Multi-frame multi-stream step: lax.scan the fused per-frame step over
+    a chunk of ``n_frames`` frames per device dispatch.
+
+    (det_params, reid_params, states, frames (K, S, H, W, 3)) ->
+    (states, (outputs (K, S, T, 5), emit (K, S, T))). Identical math to
+    calling the batched step K times; one dispatch instead of K amortizes
+    host/dispatch latency -- at a K-frame latency cost, which is the
+    throughput-serving trade (SURVEY.md section 7 stage pipelining)."""
+
+    def step(det_params, reid_params, states, frames):
+        fn = partial(
+            fused_frame_step, plan, det_cfg, trk_cfg, frame_hw,
+            tracked_class_ids=tracked_class_ids, compute_dtype=compute_dtype,
+        )
+
+        def scan_body(states, frame_batch):
+            if use_pallas_letterbox:
+                xs = pallas_letterbox_batch(frame_batch, det_cfg.img_size)
+                return jax.vmap(
+                    lambda st, fr, x: fn(det_params, reid_params, st, fr,
+                                         letterboxed=x)
+                )(states, frame_batch, xs)
+            return jax.vmap(
+                lambda st, fr: fn(det_params, reid_params, st, fr)
+            )(states, frame_batch)
+
+        return jax.lax.scan(scan_body, states, frames)
+
+    return jax.jit(step, donate_argnums=(2,) if donate_state else ())
+
+
 def make_sharded_step(
     mesh: Mesh,
     plan: NetworkPlan,
@@ -131,6 +187,7 @@ def make_sharded_step(
     tracked_class_ids=None,
     compute_dtype=jnp.float32,
     axis: str = "stream",
+    use_pallas_letterbox: bool = False,
 ):
     """Multi-chip: shard the stream axis of (states, frames) over the mesh.
     Model params are replicated; each chip runs its streams' full pipeline
@@ -144,6 +201,12 @@ def make_sharded_step(
             fused_frame_step, plan, det_cfg, trk_cfg, frame_hw,
             tracked_class_ids=tracked_class_ids, compute_dtype=compute_dtype,
         )
+        if use_pallas_letterbox:
+            xs = pallas_letterbox_batch(frames, det_cfg.img_size)
+            return jax.vmap(
+                lambda st, fr, x: fn(det_params, reid_params, st, fr,
+                                     letterboxed=x)
+            )(states, frames, xs)
         return jax.vmap(
             lambda st, fr: fn(det_params, reid_params, st, fr)
         )(states, frames)
