@@ -196,3 +196,21 @@ def test_tracker_step_nan_free_under_debug_nans():
                       np.ones(4, bool), img)
         st, *_ = step(st, tlwh, np.full(4, 0.9, np.float32), feat,
                       np.ones(4, bool), img)
+
+
+def test_deepsort_roi_nms_branch():
+    """nms_max_overlap < 1 activates the Malisiewicz ROI NMS inside the
+    facade step: two near-duplicate boxes collapse to one track."""
+    ds = DeepSort(max_tracks=8, max_dets=4, nn_budget=5, nms_max_overlap=0.5,
+                  n_init=1)
+    frame = paint_frame(120, 160, [(80, 60, 24, 48, RED)])
+    boxes = np.array([[80, 60, 24, 48], [81, 60, 24, 48]], np.float32)
+    for _ in range(3):
+        out = ds.update(boxes, [0.9, 0.8], frame)
+    assert out.shape[0] == 1, out  # duplicate suppressed -> single track
+    # sanity: without ROI NMS the duplicate becomes a second track
+    ds2 = DeepSort(max_tracks=8, max_dets=4, nn_budget=5, nms_max_overlap=1.0,
+                   n_init=1)
+    for _ in range(3):
+        out2 = ds2.update(boxes, [0.9, 0.8], frame)
+    assert out2.shape[0] == 2, out2

@@ -54,8 +54,11 @@ class Darknet:
         self.num_classes = self.plan.num_classes
         self.header = np.array([0, 2, 0, 0, 0], np.int32)
         self.raw_params: W.RawParams = W.random_raw_params(self.plan.defs())
-        self.params: W.InferenceParams = W.fold_inference_params(
-            self.raw_params, self.plan.defs()
+        # inference params live on-device: passing numpy pytrees to jitted
+        # calls would re-upload ~250 MB of weights on EVERY call
+        self.params = jax.tree_util.tree_map(
+            jnp.asarray,
+            W.fold_inference_params(self.raw_params, self.plan.defs()),
         )
         self._forward = jax.jit(
             lambda p, x: network_apply(self.plan, p, x)
@@ -67,7 +70,10 @@ class Darknet:
         )
         self.header = header
         self.raw_params.update(raw)
-        self.params = W.fold_inference_params(self.raw_params, self.plan.defs())
+        self.params = jax.tree_util.tree_map(
+            jnp.asarray,
+            W.fold_inference_params(self.raw_params, self.plan.defs()),
+        )
         return self
 
     def save_darknet_weights(self, path: str, cutoff: int | None = None):
@@ -221,9 +227,10 @@ class DeepSort:
             n_init=n_init,
         )
         if model_path and os.path.exists(model_path):
-            self.reid_params = load_reid_checkpoint(model_path)
+            reid_params = load_reid_checkpoint(model_path)
         else:
-            self.reid_params = random_reid_params(seed=0)
+            reid_params = random_reid_params(seed=0)
+        self.reid_params = jax.tree_util.tree_map(jnp.asarray, reid_params)
         self.state: TrackerState = init_tracker_state(self.cfg)
         self._steps: Dict[Tuple[int, int], callable] = {}
 
@@ -319,9 +326,10 @@ class VideoTracker:
         self.compute_dtype = jnp.bfloat16 if half else jnp.float32
         self.trk_cfg = tracker_config or TrackerConfig()
         if reid_model_path and os.path.exists(reid_model_path):
-            self.reid_params = load_reid_checkpoint(reid_model_path)
+            reid_params = load_reid_checkpoint(reid_model_path)
         else:
-            self.reid_params = random_reid_params(seed=0)
+            reid_params = random_reid_params(seed=0)
+        self.reid_params = jax.tree_util.tree_map(jnp.asarray, reid_params)
         if tracked_classes:
             self.tracked_class_ids = np.array(
                 [self.class_names.index(c) for c in tracked_classes], np.int32
