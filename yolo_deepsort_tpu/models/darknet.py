@@ -158,6 +158,7 @@ def network_apply(
     x: jnp.ndarray,
     compute_dtype=jnp.float32,
     return_feature_maps: bool = False,
+    capture_all_layers: bool = False,
 ):
     """Forward pass. x: (N, S, S, 3) NHWC in [0,1].
 
@@ -171,6 +172,7 @@ def network_apply(
     prev = x.astype(compute_dtype)
     yolo_outputs = []
     raw_maps = []
+    all_layers = []  # only populated with capture_all_layers (debug/parity)
     for i, mdef in enumerate(defs):
         t = mdef["type"]
         if t == "convolutional":
@@ -210,9 +212,13 @@ def network_apply(
             raise ValueError(f"unknown module type {t!r}")
         if i in plan.keep:
             cache[i] = out
+        if capture_all_layers:
+            all_layers.append(out)
         prev = out
 
     detections = jnp.concatenate(yolo_outputs, axis=1) if yolo_outputs else None
+    if capture_all_layers:
+        return detections, all_layers
     if return_feature_maps:
         return detections, raw_maps
     return detections
