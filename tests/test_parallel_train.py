@@ -207,3 +207,56 @@ def test_scanned_step_equals_repeated_batched(small_net):
                                   np.stack(outs)[..., 4])
     np.testing.assert_allclose(np.asarray(out_a)[..., :4],
                                np.stack(outs)[..., :4], atol=2)
+
+
+def test_cross_camera_gallery_match():
+    """BASELINE config 5: a detection on one chip re-identifies against a
+    confirmed track living on ANOTHER chip via the all-gathered gallery."""
+    from yolo_deepsort_tpu.parallel.streams import make_cross_camera_matcher
+    from yolo_deepsort_tpu.tracking.tracker import STATE_CONFIRMED
+
+    n = len(jax.devices())
+    mesh = make_stream_mesh(n)
+    cfg = TrackerConfig(max_tracks=4, max_dets=2, feat_dim=8, nn_budget=3)
+    states = init_stream_states(cfg, n)
+
+    rng = np.random.default_rng(0)
+    sig = rng.normal(size=(n, 8))
+    sig /= np.linalg.norm(sig, axis=1, keepdims=True)
+
+    # plant one confirmed track per camera c with signature feature sig[c]
+    gallery = np.asarray(states.gallery).copy()
+    count = np.asarray(states.gallery_count).copy()
+    tid = np.asarray(states.track_id).copy()
+    st = np.asarray(states.state).copy()
+    for c in range(n):
+        gallery[c, 0, 0] = sig[c]
+        count[c, 0] = 1
+        tid[c, 0] = 100 + c
+        st[c, 0] = STATE_CONFIRMED
+    states = states._replace(
+        gallery=jnp.asarray(gallery), gallery_count=jnp.asarray(count),
+        track_id=jnp.asarray(tid), state=jnp.asarray(st),
+    )
+
+    # every camera queries with camera (c+1)%n's signature: the best match
+    # must be the track on the OTHER chip
+    queries = np.zeros((n, cfg.max_dets, 8), np.float32)
+    qmask = np.zeros((n, cfg.max_dets), bool)
+    for c in range(n):
+        queries[c, 0] = sig[(c + 1) % n]
+        qmask[c, 0] = True
+
+    sharded = NamedSharding(mesh, P("stream"))
+    states = jax.device_put(states, sharded)
+    match = make_cross_camera_matcher(mesh, cfg)
+    best_id, best_dist = match(
+        states, jax.device_put(jnp.asarray(queries), sharded),
+        jax.device_put(jnp.asarray(qmask), sharded),
+    )
+    best_id = np.asarray(best_id)
+    best_dist = np.asarray(best_dist)
+    for c in range(n):
+        assert best_id[c, 0] == 100 + (c + 1) % n, (c, best_id[c])
+        assert best_dist[c, 0] < 1e-4
+        assert best_id[c, 1] == -1  # masked query

@@ -243,3 +243,81 @@ def shared_gallery_distance(local_feats: jnp.ndarray, axis: str = "stream"):
     against every camera's gallery. Call inside shard_map/jit with the mesh
     axis in scope."""
     return jax.lax.all_gather(local_feats, axis, tiled=True)
+
+
+def make_cross_camera_matcher(
+    mesh: Mesh, trk_cfg: TrackerConfig, axis: str = "stream"
+):
+    """Global re-identification across a sharded camera mesh (BASELINE
+    config 5: "4K multi-camera tracking with shared ReID gallery").
+
+    Each chip holds its cameras' tracker states; this step all_gathers every
+    camera's appearance gallery over the ICI mesh (the design's single
+    hot-path collective, SURVEY.md section 5.8) so each chip can match its
+    local detections against ALL cameras' confirmed tracks.
+
+    Returns a jitted fn:
+      (states (S, ...sharded), query_feats (S, D, F) sharded, query_mask)
+        -> (best_global_track_id (S, D), best_distance (S, D))
+    where best_global_track_id is the track id of the closest confirmed track
+    anywhere on the mesh (cosine distance, min over each track's gallery),
+    or -1 where the query is masked."""
+    from ..tracking.tracker import STATE_CONFIRMED
+
+    sharded = NamedSharding(mesh, P(axis))
+    n = mesh.devices.size
+
+    def step(states, query_feats, query_mask):
+        def shard_fn(gallery, gallery_count, track_id, state, feats, mask):
+            s_loc, d, f = feats.shape
+            q_loc = s_loc * d
+            # gather every camera's query features (the hot-path collective)
+            my_q = feats.reshape(q_loc, f)
+            all_q = jax.lax.all_gather(my_q, axis, tiled=True)  # (n*Q, F)
+
+            # score MY confirmed tracks against ALL queries
+            sims = jnp.einsum("stbf,qf->stbq", gallery, all_q)
+            valid = (
+                jnp.arange(gallery.shape[2])[None, None, :]
+                < gallery_count[:, :, None]
+            )
+            sims = jnp.where(valid[..., None], sims, -jnp.inf)
+            dist = 1.0 - jnp.max(sims, axis=2)  # (S_loc, T, n*Q)
+            confirmed = state == STATE_CONFIRMED
+            dist = jnp.where(confirmed[..., None], dist, jnp.inf)
+            dist = dist.reshape(-1, n * q_loc)  # (local tracks, n*Q)
+            local_best = jnp.argmin(dist, axis=0)
+            cols = jnp.arange(n * q_loc)
+            ld = dist[local_best, cols]  # (n*Q,)
+            lid = track_id.reshape(-1)[local_best]
+
+            # tiny second gather: each chip's per-query best -> global best
+            all_ld = jax.lax.all_gather(ld, axis)  # (n, n*Q)
+            all_lid = jax.lax.all_gather(lid, axis)
+            win = jnp.argmin(all_ld, axis=0)
+            g_dist = all_ld[win, cols]
+            g_id = all_lid[win, cols]
+
+            # slice out my own queries' answers
+            k = jax.lax.axis_index(axis)
+            my_dist = jax.lax.dynamic_slice(g_dist, (k * q_loc,), (q_loc,))
+            my_id = jax.lax.dynamic_slice(g_id, (k * q_loc,), (q_loc,))
+            ok = mask.reshape(-1) & jnp.isfinite(my_dist)
+            my_id = jnp.where(ok, my_id, -1)
+            my_dist = jnp.where(ok, my_dist, jnp.inf)
+            return my_id.reshape(s_loc, d), my_dist.reshape(s_loc, d)
+
+        from jax.experimental.shard_map import shard_map
+
+        fn = shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis)),
+        )
+        return fn(
+            states.gallery, states.gallery_count, states.track_id,
+            states.state, query_feats, query_mask,
+        )
+
+    return jax.jit(step)
