@@ -15,7 +15,7 @@ Layout (little-endian):
 from __future__ import annotations
 
 import io
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -12,8 +12,6 @@ import argparse
 import os
 import sys
 import time
-from functools import partial
-
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -55,10 +53,6 @@ def main():
     )
     rng = np.random.default_rng(0)
     frames0 = jnp.asarray(rng.integers(0, 256, (S, H, W_, 3), dtype=np.uint8))
-
-    def stage_letterbox(dp, rp, frames, states):
-        x = jax.vmap(lambda f: letterbox(f, SIZE))(frames)
-        return jnp.sum(x.astype(jnp.float32)), states
 
     def stage_fwd(dp, rp, frames, states):
         x = jax.vmap(lambda f: letterbox(f, SIZE))(frames)

@@ -15,14 +15,13 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .cfg import COCO_NAMES, load_classes, parse_model_config
+from .cfg import COCO_NAMES, parse_model_config
 from .cfg.architectures import ARCHITECTURES
 from .config import DetectorConfig, TrackerConfig
 from .models import weights as W

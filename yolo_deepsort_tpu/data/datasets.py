@@ -19,7 +19,7 @@ from __future__ import annotations
 import glob
 import os
 import random
-from typing import Iterator, List, Sequence, Tuple
+from typing import Iterator, Tuple
 
 import numpy as np
 

@@ -15,7 +15,7 @@ be tensor-sharded over an "mp" axis via sharding annotations.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict
 
 import jax
 import jax.lax as lax
