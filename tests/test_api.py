@@ -214,3 +214,21 @@ def test_deepsort_roi_nms_branch():
     for _ in range(3):
         out2 = ds2.update(boxes, [0.9, 0.8], frame)
     assert out2.shape[0] == 2, out2
+
+
+def test_video_tracker_state_checkpoint(tiny_model, tmp_path):
+    vt = VideoTracker(tiny_model, tracked_classes=None, conf_thres=0.3,
+                      tracker_config=TrackerConfig(max_tracks=8, max_dets=8,
+                                                   nn_budget=4))
+    frame = np.random.default_rng(9).integers(0, 256, (96, 128, 3), np.uint8)
+    vt.track_frame(frame)
+    path = tmp_path / "vt.npz"
+    vt.save_state(str(path))
+    a = vt.track_frame(frame)
+
+    vt2 = VideoTracker(tiny_model, tracked_classes=None, conf_thres=0.3,
+                       tracker_config=TrackerConfig(max_tracks=8, max_dets=8,
+                                                    nn_budget=4))
+    vt2.load_state(str(path))
+    b = vt2.track_frame(frame)
+    np.testing.assert_array_equal(a, b)

@@ -93,7 +93,8 @@ def test_reid_cli_train_and_eval(tmp_path):
     r = subprocess.run(
         base + ["train"] + common + ["--epochs", "1", "--log-interval", "1",
                                      "--lr", "0.01"],
-        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=600,
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=1500,  # one-core jit compile of the train graph is ~8-12 min
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert ckpt.exists()
@@ -102,7 +103,7 @@ def test_reid_cli_train_and_eval(tmp_path):
 
     r = subprocess.run(
         base + ["test"] + common,
-        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=600,
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=900,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     z = np.load(feats)

@@ -388,6 +388,19 @@ class VideoTracker:
             self._steps[key] = step
         return self._steps[key]
 
+    def save_state(self, path: str) -> None:
+        """Checkpoint the tracker runtime state (resume mid-video)."""
+        from .utils.checkpoint import save_pytree
+
+        save_pytree(path, self.state._asdict())
+
+    def load_state(self, path: str) -> None:
+        from .utils.checkpoint import load_pytree
+
+        d = load_pytree(path)
+        self.state = TrackerState(**{k: jnp.asarray(d[k])
+                                     for k in TrackerState._fields})
+
     def track_frame(self, frame_rgb: np.ndarray) -> np.ndarray:
         """One frame -> int rows [x1, y1, x2, y2, track_id]."""
         h, w = frame_rgb.shape[:2]
