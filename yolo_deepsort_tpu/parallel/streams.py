@@ -147,33 +147,74 @@ def make_scanned_step(
     donate_state: bool = True,
     use_pallas_letterbox: bool = False,
 ):
-    """Multi-frame multi-stream step: lax.scan the fused per-frame step over
-    a chunk of ``n_frames`` frames per device dispatch.
+    """Multi-frame multi-stream step over a chunk of ``n_frames`` frames per
+    device dispatch.
 
     (det_params, reid_params, states, frames (K, S, H, W, 3)) ->
     (states, (outputs (K, S, T, 5), emit (K, S, T))). Identical math to
-    calling the batched step K times; one dispatch instead of K amortizes
-    host/dispatch latency -- at a K-frame latency cost, which is the
-    throughput-serving trade (SURVEY.md section 7 stage pipelining)."""
+    calling the batched step K times, restructured for the hardware: the
+    STATELESS stages (letterbox, backbone, NMS, crop, ReID embed) run as one
+    K*S batch -- bigger convolutions, better MXU utilization -- and only the
+    stateful tracker association scans sequentially over the K frames
+    (SURVEY.md section 7 stage pipelining, at a K-frame latency cost)."""
+
+    h, w = frame_hw
+    size = det_cfg.img_size
 
     def step(det_params, reid_params, states, frames):
-        fn = partial(
-            fused_frame_step, plan, det_cfg, trk_cfg, frame_hw,
-            tracked_class_ids=tracked_class_ids, compute_dtype=compute_dtype,
+        k, s = frames.shape[0], frames.shape[1]
+        flat = frames.reshape(k * s, h, w, 3)
+
+        # ---- stateless stages, one big batch
+        if use_pallas_letterbox:
+            xs = pallas_letterbox_batch(flat, size)
+        else:
+            xs = jax.vmap(lambda f: letterbox(f, size))(flat)
+        decoded = network_apply(
+            plan, det_params, xs, compute_dtype=compute_dtype
         )
+        boxes7, mask = batched_nms(
+            decoded, det_cfg.conf_thres, det_cfg.nms_thres,
+            det_cfg.max_boxes, trk_cfg.max_dets,
+        )  # (K*S, D, 7)
+        xyxy = jax.vmap(lambda b: rescale_boxes(b[:, :4], size, h, w))(boxes7)
+        if tracked_class_ids is not None:
+            mask = mask & jnp.isin(
+                boxes7[..., 6].astype(jnp.int32), jnp.asarray(tracked_class_ids)
+            )
+        x1 = jnp.clip(xyxy[..., 0], 0, w - 1)
+        y1 = jnp.clip(xyxy[..., 1], 0, h - 1)
+        x2 = jnp.clip(xyxy[..., 2], 0, w - 1)
+        y2 = jnp.clip(xyxy[..., 3], 0, h - 1)
+        tlwh = jnp.stack([x1, y1, x2 - x1, y2 - y1], axis=-1)
+        crops = jax.vmap(
+            lambda f, b: crop_and_normalize(f, b, compute_dtype=compute_dtype)
+        )(flat, jnp.stack([x1, y1, x2, y2], axis=-1))  # (K*S, D, 128, 64, 3)
+        d = crops.shape[1]
+        feats = reid_apply(
+            reid_params, crops.reshape(k * s * d, *crops.shape[2:]),
+            compute_dtype=compute_dtype,
+        ).reshape(k * s, d, -1)
 
-        def scan_body(states, frame_batch):
-            if use_pallas_letterbox:
-                xs = pallas_letterbox_batch(frame_batch, det_cfg.img_size)
-                return jax.vmap(
-                    lambda st, fr, x: fn(det_params, reid_params, st, fr,
-                                         letterboxed=x)
-                )(states, frame_batch, xs)
-            return jax.vmap(
-                lambda st, fr: fn(det_params, reid_params, st, fr)
-            )(states, frame_batch)
+        # ---- stateful tracker, scanned over frames
+        per_frame = lambda a: a.reshape(k, s, *a.shape[1:])
+        img_hw = jnp.array([h, w], jnp.int32)
 
-        return jax.lax.scan(scan_body, states, frames)
+        def scan_body(states, frame_data):
+            tlwh_t, conf_t, feats_t, mask_t = frame_data
+            states, outputs, emit = jax.vmap(
+                lambda st, t_, c_, f_, m_: tracker_step(
+                    trk_cfg, st, t_, c_, f_, m_, img_hw
+                )
+            )(states, tlwh_t, conf_t, feats_t, mask_t)
+            return states, (outputs, emit)
+
+        return jax.lax.scan(
+            scan_body,
+            states,
+            (per_frame(tlwh), per_frame(boxes7[..., 4]), per_frame(feats),
+             per_frame(mask)),
+        )
 
     return jax.jit(step, donate_argnums=(2,) if donate_state else ())
 
