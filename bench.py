@@ -30,7 +30,7 @@ def main():
     p.add_argument("--frame-w", type=int, default=1920)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
-    p.add_argument("--scan", type=int, default=8,
+    p.add_argument("--scan", type=int, default=16,
                    help="frames scanned per device dispatch (1 = per-frame)")
     p.add_argument("--max-dets", type=int, default=64)
     p.add_argument("--f32", action="store_true", help="disable bf16 compute")
