@@ -32,6 +32,55 @@ def test_pytree_roundtrip(tmp_path):
     np.testing.assert_array_equal(back["tup"][1], np.arange(3))
 
 
+def test_pytree_roundtrip_adversarial_keys(tmp_path):
+    """Key types and marker-lookalike keys survive (round-1 advisor finding:
+    int keys were stringified and '__'-prefixed keys collided with the
+    sequence-marker detection)."""
+    tree = {
+        5: np.arange(2.0),       # int key must come back as int
+        "5": np.arange(3.0),     # distinct from int 5
+        "__T3__": np.ones(1),    # old-format marker lookalike
+        "a/b": np.zeros(2),      # path separator in key
+        "": np.full(1, 7.0),     # empty key
+        "%2F": np.full(1, 9.0),  # quote-escape lookalike
+    }
+    path = tmp_path / "adv.npz"
+    save_pytree(path, tree)
+    back = load_pytree(path)
+    assert set(back) == set(tree)
+    for k in tree:
+        np.testing.assert_array_equal(back[k], tree[k])
+    assert isinstance([k for k in back if k == 5][0], int)
+
+
+def test_restore_like_optax_opt_state(tmp_path):
+    """Optimizer state round-trips through npz and restore_like brings the
+    optax NamedTuple node types back so tx.update still works (round-1
+    advisor: --resume crashed on plain-tuple opt_state)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from yolo_deepsort_tpu.utils.checkpoint import restore_like
+
+    # int module indices incl. >=10 to exercise numeric-vs-string sort order
+    params = {2: {"w": jnp.ones((2, 2))}, 10: {"b": jnp.zeros(3)}}
+    tx = optax.chain(
+        optax.add_decayed_weights(1e-4), optax.sgd(0.1, momentum=0.9)
+    )
+    opt_state = tx.init(params)
+    path = tmp_path / "opt.npz"
+    save_pytree(path, {"opt": opt_state, "params": params})
+    back = load_pytree(path)
+    params2 = restore_like(params, back["params"])
+    assert set(params2) == {2, 10}
+    opt2 = restore_like(opt_state, back["opt"])
+    grads = jax.tree.map(jnp.ones_like, params2)
+    updates, _ = tx.update(grads, opt2, params2)  # needs real NamedTuples
+    new_params = optax.apply_updates(params2, updates)
+    assert np.isfinite(np.asarray(new_params[2]["w"])).all()
+
+
 def test_tracker_state_checkpoint_roundtrip(tmp_path):
     """Tracker runtime state is checkpointable (SURVEY.md section 5.4)."""
     from yolo_deepsort_tpu.config import TrackerConfig

@@ -194,6 +194,34 @@ def test_low_confidence_filtered():
     assert all(len(x) == 0 for x in j)
 
 
+def test_nn_budget_one_gallery_updates():
+    """nn_budget=1: the head must wrap to 0 at init so matched-frame feature
+    writes land (round-1 advisor: head was stuck at the out-of-range index 1,
+    silently dropping the first post-init write)."""
+    rng = np.random.default_rng(5)
+    f0 = rng.normal(size=FEAT_DIM); f0 /= np.linalg.norm(f0)
+    f1 = rng.normal(size=FEAT_DIM); f1 /= np.linalg.norm(f1)
+    cfg = TrackerConfig(max_tracks=8, max_dets=4, feat_dim=FEAT_DIM, nn_budget=1)
+    step = jax.jit(partial(tracker_step, cfg))
+    state = init_tracker_state(cfg)
+    img_hw = np.array(IMG_HW, np.int32)
+    d = cfg.max_dets
+    for feat_now in (f0, f1):
+        tlwh = np.zeros((d, 4), np.float32); tlwh[0] = [300, 300, 40, 80]
+        conf = np.zeros((d,), np.float32); conf[0] = 0.9
+        feat = np.zeros((d, FEAT_DIM), np.float32); feat[0] = feat_now
+        mask = np.zeros((d,), bool); mask[0] = True
+        state, _, _ = step(state, tlwh, conf, feat, mask, img_hw)
+    gallery = np.asarray(state.gallery)
+    slot = int(np.argmax(np.asarray(state.hits)))
+    # budget-1 ring must now hold the SECOND frame's feature, not the first
+    np.testing.assert_allclose(gallery[slot, 0], f1.astype(np.float32), atol=1e-5)
+    # and parity vs the oracle at budget 1 on a full scene
+    frames = make_scenario(21, n_objects=3, n_frames=20)
+    cfg32 = TrackerConfig(max_tracks=32, max_dets=16, feat_dim=FEAT_DIM, nn_budget=1)
+    compare(run_oracle(frames, nn_budget=1), run_jax(frames, cfg32))
+
+
 def test_state_is_scan_and_jit_stable():
     """Bit-identical outputs jitted vs unjitted (SURVEY.md section 4.4)."""
     frames = make_scenario(11, n_objects=3, n_frames=8)

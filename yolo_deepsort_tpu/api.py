@@ -378,7 +378,9 @@ class VideoTracker:
                     compute_dtype=cdtype,
                 )
                 feats = reid_apply(reid_params, crops, compute_dtype=cdtype)
-                conf = boxes7[:, 4]
+                # reference glue feeds the CLASS confidence (row col 5, not
+                # obj_conf col 4) into deepsort.update's min_confidence filter
+                conf = boxes7[:, 5]
                 img_hw = jnp.array([h, w], jnp.int32)
                 state, outputs, emit = tracker_step(
                     trk_cfg, state, tlwh, conf, feats, mask, img_hw

@@ -77,7 +77,7 @@ def fused_frame_step(
     feats = reid_apply(reid_params, crops, compute_dtype=compute_dtype)
     img_hw = jnp.array([h, w], jnp.int32)
     state, outputs, emit = tracker_step(
-        trk_cfg, state, tlwh, boxes7[:, 4], feats, mask, img_hw
+        trk_cfg, state, tlwh, boxes7[:, 5], feats, mask, img_hw
     )
     return state, (outputs, emit)
 
@@ -212,7 +212,7 @@ def make_scanned_step(
         return jax.lax.scan(
             scan_body,
             states,
-            (per_frame(tlwh), per_frame(boxes7[..., 4]), per_frame(feats),
+            (per_frame(tlwh), per_frame(boxes7[..., 5]), per_frame(feats),
              per_frame(mask)),
         )
 

@@ -219,7 +219,9 @@ def tracker_step(
         det_feat[new_det][:, None, :],
         gallery,
     )
-    gallery_head = jnp.where(is_new, 1, gallery_head)
+    # head wraps immediately when nn_budget == 1 (else the first matched-frame
+    # write would target the out-of-range index 1 and be silently dropped)
+    gallery_head = jnp.where(is_new, 1 % cfg.nn_budget, gallery_head)
     gallery_count = jnp.where(is_new, 1, gallery_count)
     next_id = state.next_id + jnp.sum(can_init.astype(jnp.int32))
 

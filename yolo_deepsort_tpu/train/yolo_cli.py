@@ -196,7 +196,7 @@ def main():
         save_darknet_weights,
     )
     from ..data.datasets import ListDataset
-    from ..utils.checkpoint import load_pytree, save_pytree
+    from ..utils.checkpoint import load_pytree, restore_like, save_pytree
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--cfg", required=True)
@@ -229,7 +229,11 @@ def main():
     seen = 0
     if args.resume and os.path.exists(args.ckpt):
         ck = load_pytree(args.ckpt)
-        params, stats, opt_state = ck["params"], ck["stats"], ck["opt_state"]
+        # restore onto freshly-built templates so optax NamedTuple node types
+        # (lost in .npz round trip) come back intact
+        params = restore_like(params, ck["params"])
+        stats = restore_like(stats, ck["stats"])
+        opt_state = restore_like(opt_state, ck["opt_state"])
         seen = int(ck["seen"])
         print(f"resumed at seen={seen}")
 
