@@ -209,6 +209,48 @@ def test_scanned_step_equals_repeated_batched(small_net):
                                np.stack(outs)[..., :4], atol=2)
 
 
+def test_bucketed_scanned_step_equals_full_capacity(small_net):
+    """Capacity bucketing is a pure perf transform: the bucketed step (detect
+    at full capacity -> 1-int readback -> capacity-sliced crop/embed/track)
+    must reproduce the monolithic scanned step's outputs and state."""
+    from yolo_deepsort_tpu.parallel.streams import (
+        make_scanned_step,
+        make_scanned_step_bucketed,
+    )
+
+    plan, det_params, reid_params = small_net
+    s, k = 2, 3
+    rng = np.random.default_rng(5)
+    chunks = [
+        jnp.asarray(rng.integers(0, 256, (k, s, *FRAME_HW, 3), dtype=np.uint8))
+        for _ in range(2)
+    ]
+    states0 = init_stream_states(TRK_CFG, s)
+
+    full = make_scanned_step(plan, DET_CFG, TRK_CFG, FRAME_HW, k,
+                             donate_state=False)
+    bucketed = make_scanned_step_bucketed(
+        plan, DET_CFG, TRK_CFG, FRAME_HW, buckets=(2, 4), donate_state=False
+    )
+
+    st_a, st_b = states0, states0
+    for chunk in chunks:  # two chunks: state must carry across bucket calls
+        st_a, (out_a, emit_a) = full(det_params, reid_params, st_a, chunk)
+        st_b, (out_b, emit_b) = bucketed(det_params, reid_params, st_b, chunk)
+        assert bucketed.last_max_count <= bucketed.last_bucket
+        assert bucketed.last_bucket in (2, 4, TRK_CFG.max_dets)
+        np.testing.assert_array_equal(np.asarray(emit_a), np.asarray(emit_b))
+        # ids exact; boxes within conv-batching tolerance (embed batch size
+        # differs between capacities)
+        np.testing.assert_array_equal(np.asarray(out_a)[..., 4],
+                                      np.asarray(out_b)[..., 4])
+        np.testing.assert_allclose(np.asarray(out_a)[..., :4],
+                                   np.asarray(out_b)[..., :4], atol=2)
+    for a, b in zip(jax.tree_util.tree_leaves(st_a),
+                    jax.tree_util.tree_leaves(st_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2)
+
+
 def test_cross_camera_gallery_match():
     """BASELINE config 5: a detection on one chip re-identifies against a
     confirmed track living on ANOTHER chip via the all-gathered gallery."""

@@ -219,6 +219,193 @@ def make_scanned_step(
     return jax.jit(step, donate_argnums=(2,) if donate_state else ())
 
 
+def make_scanned_detect_stage(
+    plan: NetworkPlan,
+    det_cfg: DetectorConfig,
+    trk_cfg: TrackerConfig,
+    frame_hw: Tuple[int, int],
+    compute_dtype=jnp.float32,
+    use_pallas_letterbox: bool = False,
+):
+    """Detection half of the bucketed scanned step: letterbox -> backbone ->
+    NMS over the whole (K, S) chunk at FULL det capacity.
+
+    Returns jitted (det_params, frames (K,S,H,W,3)) ->
+    (boxes7 (K*S, D, 7), mask (K*S, D), max_count ()) where max_count is the
+    largest per-frame detection count in the chunk -- the 1-int host readback
+    that selects the downstream capacity bucket. NMS emits valid rows as a
+    contiguous prefix (ops/nms.py body writes slot i on iteration i), so any
+    capacity >= max_count preserves every detection exactly."""
+    h, w = frame_hw
+    size = det_cfg.img_size
+
+    def detect(det_params, frames):
+        k, s = frames.shape[0], frames.shape[1]
+        flat = frames.reshape(k * s, h, w, 3)
+        if use_pallas_letterbox:
+            xs = pallas_letterbox_batch(flat, size)
+        else:
+            xs = jax.vmap(lambda f: letterbox(f, size))(flat)
+        decoded = network_apply(
+            plan, det_params, xs, compute_dtype=compute_dtype
+        )
+        boxes7, mask = batched_nms(
+            decoded, det_cfg.conf_thres, det_cfg.nms_thres,
+            det_cfg.max_boxes, trk_cfg.max_dets,
+        )
+        max_count = jnp.max(jnp.sum(mask, axis=-1)).astype(jnp.int32)
+        return boxes7, mask, max_count
+
+    return jax.jit(detect)
+
+
+def make_scanned_track_stage(
+    det_cfg: DetectorConfig,
+    trk_cfg: TrackerConfig,
+    frame_hw: Tuple[int, int],
+    cap: int,
+    tracked_class_ids=None,
+    compute_dtype=jnp.float32,
+    donate_state: bool = True,
+):
+    """Tracking half of the bucketed scanned step at detection capacity
+    ``cap``: rescale -> crop -> ReID embed -> scanned tracker association,
+    all shapes sliced to the first ``cap`` det slots. The ReID embed is the
+    step's largest fixed cost (round-1 stage budget: 9.4 of 29.3 ms at
+    cap=64); running it at the chunk's actual load is the bucketing win.
+
+    Output shapes ((K,S,T,5), (K,S,T)) do not depend on ``cap``."""
+    import dataclasses
+
+    h, w = frame_hw
+    size = det_cfg.img_size
+    cfg_c = dataclasses.replace(trk_cfg, max_dets=cap)
+
+    def track(reid_params, states, frames, boxes7, mask):
+        k, s = frames.shape[0], frames.shape[1]
+        flat = frames.reshape(k * s, h, w, 3)
+        b7 = boxes7[:, :cap]
+        m = mask[:, :cap]
+        xyxy = jax.vmap(lambda b: rescale_boxes(b[:, :4], size, h, w))(b7)
+        if tracked_class_ids is not None:
+            m = m & jnp.isin(
+                b7[..., 6].astype(jnp.int32), jnp.asarray(tracked_class_ids)
+            )
+        x1 = jnp.clip(xyxy[..., 0], 0, w - 1)
+        y1 = jnp.clip(xyxy[..., 1], 0, h - 1)
+        x2 = jnp.clip(xyxy[..., 2], 0, w - 1)
+        y2 = jnp.clip(xyxy[..., 3], 0, h - 1)
+        tlwh = jnp.stack([x1, y1, x2 - x1, y2 - y1], axis=-1)
+        crops = jax.vmap(
+            lambda f, b: crop_and_normalize(f, b, compute_dtype=compute_dtype)
+        )(flat, jnp.stack([x1, y1, x2, y2], axis=-1))  # (K*S, cap, 128, 64, 3)
+        feats = reid_apply(
+            reid_params, crops.reshape(k * s * cap, *crops.shape[2:]),
+            compute_dtype=compute_dtype,
+        ).reshape(k * s, cap, -1)
+
+        per_frame = lambda a: a.reshape(k, s, *a.shape[1:])
+        img_hw = jnp.array([h, w], jnp.int32)
+
+        def scan_body(states, frame_data):
+            tlwh_t, conf_t, feats_t, mask_t = frame_data
+            states, outputs, emit = jax.vmap(
+                lambda st, t_, c_, f_, m_: tracker_step(
+                    cfg_c, st, t_, c_, f_, m_, img_hw
+                )
+            )(states, tlwh_t, conf_t, feats_t, mask_t)
+            return states, (outputs, emit)
+
+        return jax.lax.scan(
+            scan_body,
+            states,
+            (per_frame(tlwh), per_frame(b7[..., 5]), per_frame(feats),
+             per_frame(m)),
+        )
+
+    return jax.jit(track, donate_argnums=(1,) if donate_state else ())
+
+
+class BucketedScannedStep:
+    """Drop-in replacement for make_scanned_step that sizes the post-NMS
+    pipeline to the chunk's actual detection load.
+
+    The fused step's crop/embed/associate stages otherwise run at worst-case
+    MAX_DETS capacity on every chunk. Here detection runs first (full
+    capacity), a single int32 readback exposes the chunk's max per-frame
+    detection count, and the smallest compiled capacity bucket >= that count
+    runs the rest. Exact-output property: NMS rows are a contiguous valid
+    prefix, so slicing to any capacity >= the count keeps every detection,
+    and tracker state layouts are capacity-independent -- states flow across
+    buckets unchanged.
+
+    One readback per K*S-frame chunk (~sub-ms vs a multi-hundred-ms chunk).
+    Track-stage variants compile lazily per bucket and persist in the jit
+    cache."""
+
+    def __init__(
+        self,
+        plan: NetworkPlan,
+        det_cfg: DetectorConfig,
+        trk_cfg: TrackerConfig,
+        frame_hw: Tuple[int, int],
+        buckets: Tuple[int, ...] = (8, 16, 32),
+        tracked_class_ids=None,
+        compute_dtype=jnp.float32,
+        donate_state: bool = True,
+        use_pallas_letterbox: bool = False,
+    ):
+        self._detect = make_scanned_detect_stage(
+            plan, det_cfg, trk_cfg, frame_hw, compute_dtype=compute_dtype,
+            use_pallas_letterbox=use_pallas_letterbox,
+        )
+        self._buckets = tuple(sorted(
+            {b for b in buckets if b < trk_cfg.max_dets} | {trk_cfg.max_dets}
+        ))
+        self._mk = lambda cap: make_scanned_track_stage(
+            det_cfg, trk_cfg, frame_hw, cap,
+            tracked_class_ids=tracked_class_ids, compute_dtype=compute_dtype,
+            donate_state=donate_state,
+        )
+        self._track = {}
+        self.last_bucket: Optional[int] = None
+        self.last_max_count: Optional[int] = None
+
+    def _bucket_for(self, count: int) -> int:
+        for b in self._buckets:
+            if count <= b:
+                return b
+        return self._buckets[-1]
+
+    def __call__(self, det_params, reid_params, states, frames):
+        boxes7, mask, max_count = self._detect(det_params, frames)
+        count = int(max_count)
+        cap = self._bucket_for(count)
+        self.last_bucket, self.last_max_count = cap, count
+        fn = self._track.get(cap)
+        if fn is None:
+            fn = self._track[cap] = self._mk(cap)
+        return fn(reid_params, states, frames, boxes7, mask)
+
+
+def make_scanned_step_bucketed(
+    plan: NetworkPlan,
+    det_cfg: DetectorConfig,
+    trk_cfg: TrackerConfig,
+    frame_hw: Tuple[int, int],
+    buckets: Tuple[int, ...] = (8, 16, 32),
+    tracked_class_ids=None,
+    compute_dtype=jnp.float32,
+    donate_state: bool = True,
+    use_pallas_letterbox: bool = False,
+) -> BucketedScannedStep:
+    return BucketedScannedStep(
+        plan, det_cfg, trk_cfg, frame_hw, buckets=buckets,
+        tracked_class_ids=tracked_class_ids, compute_dtype=compute_dtype,
+        donate_state=donate_state, use_pallas_letterbox=use_pallas_letterbox,
+    )
+
+
 def make_sharded_step(
     mesh: Mesh,
     plan: NetworkPlan,
@@ -348,9 +535,7 @@ def make_cross_camera_matcher(
             my_dist = jnp.where(ok, my_dist, jnp.inf)
             return my_id.reshape(s_loc, d), my_dist.reshape(s_loc, d)
 
-        from jax.experimental.shard_map import shard_map
-
-        fn = shard_map(
+        fn = jax.shard_map(
             shard_fn,
             mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
