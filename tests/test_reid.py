@@ -136,6 +136,172 @@ def test_reid_classifier_parity(torch_net):
     np.testing.assert_allclose(logits_j, logits_t, rtol=2e-3, atol=2e-3)
 
 
+class OriginalBasicBlock(nn.Module):
+    """original_model.py BasicBlock (ELU activations)."""
+
+    def __init__(self, c_in, c_out, is_downsample=False):
+        super().__init__()
+        self.conv1 = nn.Conv2d(
+            c_in, c_out, 3, stride=2 if is_downsample else 1, padding=1,
+            bias=False,
+        )
+        self.bn1 = nn.BatchNorm2d(c_out)
+        self.conv2 = nn.Conv2d(c_out, c_out, 3, stride=1, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(c_out)
+        if is_downsample:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(c_in, c_out, 1, stride=2, bias=False),
+                nn.BatchNorm2d(c_out),
+            )
+        elif c_in != c_out:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(c_in, c_out, 1, stride=1, bias=False),
+                nn.BatchNorm2d(c_out),
+            )
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        y = self.bn2(self.conv2(torch.nn.functional.elu(self.bn1(self.conv1(x)))))
+        s = x if self.downsample is None else self.downsample(x)
+        return torch.nn.functional.elu(y + s)
+
+
+def make_original_layers(c_in, c_out, repeat, is_downsample):
+    blocks = [OriginalBasicBlock(c_in, c_out, is_downsample)]
+    for _ in range(repeat - 1):
+        blocks.append(OriginalBasicBlock(c_out, c_out))
+    return nn.Sequential(*blocks)
+
+
+class TorchOriginalNet(nn.Module):
+    """original_model.py Net (deep_sort/deep/original_model.py:~50-110):
+    the original cosine-metric-learning (mars-small128) layout -- ELU, two
+    stem convs, 3 stages, dense 128 head; reid branch = dropout-skip +
+    dense Linear + L2 norm."""
+
+    def __init__(self, num_classes=625, reid=True):
+        super().__init__()
+        self.conv = nn.Sequential(
+            nn.Conv2d(3, 32, 3, stride=1, padding=1),
+            nn.BatchNorm2d(32),
+            nn.ELU(inplace=True),
+            nn.Conv2d(32, 32, 3, stride=1, padding=1),
+            nn.BatchNorm2d(32),
+            nn.ELU(inplace=True),
+            nn.MaxPool2d(3, 2, padding=1),
+        )
+        self.layer1 = make_original_layers(32, 32, 2, False)
+        self.layer2 = make_original_layers(32, 64, 2, True)
+        self.layer3 = make_original_layers(64, 128, 2, True)
+        self.dense = nn.Sequential(
+            nn.Dropout(p=0.6),
+            nn.Linear(128 * 16 * 8, 128),
+            nn.BatchNorm1d(128),
+            nn.ELU(inplace=True),
+        )
+        self.reid = reid
+        self.classifier = nn.Linear(128, num_classes)
+
+    def forward(self, x):
+        x = self.conv(x)
+        x = self.layer1(x)
+        x = self.layer2(x)
+        x = self.layer3(x)
+        x = x.view(x.size(0), -1)
+        if self.reid:
+            x = self.dense[0](x)
+            x = self.dense[1](x)
+            return x / x.norm(p=2, dim=1, keepdim=True)
+        x = self.dense(x)
+        return self.classifier(x)
+
+
+@pytest.fixture(scope="module")
+def torch_original_net():
+    torch.manual_seed(1)
+    net = TorchOriginalNet(reid=True).eval()
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, (nn.BatchNorm2d, nn.BatchNorm1d)):
+                m.running_mean.normal_(0, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.normal_(1.0, 0.2)
+                m.bias.normal_(0, 0.2)
+    return net
+
+
+def test_original_model_feature_parity(torch_original_net):
+    from yolo_deepsort_tpu.models.reid import original_params_from_state_dict
+
+    sd = {k: v.numpy() for k, v in torch_original_net.state_dict().items()}
+    params = original_params_from_state_dict(sd)
+    rng = np.random.default_rng(4)
+    x = rng.normal(0, 1, (3, 3, 128, 64)).astype(np.float32)
+    with torch.no_grad():
+        feats_t = torch_original_net(torch.tensor(x)).numpy()
+    feats_j = np.asarray(reid_apply(params, np.transpose(x, (0, 2, 3, 1))))
+    assert feats_j.shape == (3, 128)
+    np.testing.assert_allclose(feats_j, feats_t, rtol=1e-3, atol=1e-4)
+
+
+def test_ckpt_t7_file_path_both_layouts(tmp_path, torch_net, torch_original_net):
+    """Drive the ACTUAL torch-pickle checkpoint loader with saved files --
+    the reference's ckpt.t7 contract {'net_dict', 'acc', 'epoch'}
+    (deep_sort/deep/feature_extractor.py:~15; round-1 review: this path had
+    zero coverage)."""
+    from yolo_deepsort_tpu.models.reid import feat_dim_of, load_reid_checkpoint
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(0, 1, (2, 3, 128, 64)).astype(np.float32)
+    for net, dim in ((torch_net, 512), (torch_original_net, 128)):
+        path = tmp_path / f"ckpt{dim}.t7"
+        torch.save({"net_dict": net.state_dict(), "acc": 0.9, "epoch": 7},
+                   str(path))
+        params = load_reid_checkpoint(str(path))
+        assert feat_dim_of(params) == dim
+        with torch.no_grad():
+            feats_t = net(torch.tensor(x)).numpy()
+        feats_j = np.asarray(reid_apply(params, np.transpose(x, (0, 2, 3, 1))))
+        np.testing.assert_allclose(feats_j, feats_t, rtol=1e-3, atol=1e-4)
+
+
+def test_extractor_facade(tmp_path, torch_net):
+    """Extractor(model_path)(crops) == reference feature_extractor.py
+    semantics: cv2-resized, normalized, batched, L2-normed features."""
+    cv2 = pytest.importorskip("cv2")
+    from yolo_deepsort_tpu.api import Extractor
+
+    path = tmp_path / "ckpt.t7"
+    torch.save({"net_dict": torch_net.state_dict(), "acc": 1.0, "epoch": 1},
+               str(path))
+    ex = Extractor(model_path=str(path))
+    assert ex.feat_dim == 512
+
+    rng = np.random.default_rng(6)
+    crops = [rng.integers(0, 256, (h, w, 3), np.uint8)
+             for h, w in ((100, 40), (128, 64), (220, 90))]
+    feats = ex(crops)
+    assert feats.shape == (3, 512)
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=1), 1.0, rtol=1e-4)
+
+    # parity vs the torch reference pipeline on the same crops
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    batch = np.stack([
+        (cv2.resize(c, (64, 128), interpolation=cv2.INTER_LINEAR)
+         .astype(np.float32) / 255.0 - mean) / std
+        for c in crops
+    ])
+    with torch.no_grad():
+        ref = torch_net(
+            torch.tensor(np.transpose(batch, (0, 3, 1, 2)))
+        ).numpy()
+    np.testing.assert_allclose(feats, ref, rtol=1e-3, atol=1e-4)
+
+    assert ex([]).shape == (0, 512)
+
+
 def test_random_params_shape_compatible():
     params = random_reid_params(seed=0)
     x = np.zeros((2, 128, 64, 3), np.float32)

@@ -26,12 +26,39 @@ from .cfg.architectures import ARCHITECTURES
 from .config import DetectorConfig, TrackerConfig
 from .models import weights as W
 from .models.darknet import NetworkPlan, build_network, network_apply
-from .models.reid import load_reid_checkpoint, random_reid_params, reid_apply
+from .models.reid import (
+    feat_dim_of,
+    load_reid_checkpoint,
+    random_reid_params,
+    reid_apply,
+)
 from .ops import boxes as B
 from .ops.crops import crop_and_normalize
 from .ops.letterbox import letterbox, rescale_boxes
 from .ops.nms import batched_nms, roi_nms_mask
 from .tracking.tracker import TrackerState, init_tracker_state, tracker_step
+
+
+class _GeometryCache:
+    """Bounded LRU of jitted steps keyed by frame geometry. A stream of
+    varying resolutions would otherwise recompile and cache forever
+    (round-1 review: unbounded per-(h,w) jit caches)."""
+
+    def __init__(self, maxsize: int = 8):
+        from collections import OrderedDict
+
+        self._d = OrderedDict()
+        self.maxsize = maxsize
+
+    def get(self, key, builder):
+        if key in self._d:
+            self._d.move_to_end(key)
+            return self._d[key]
+        fn = builder()
+        self._d[key] = fn
+        while len(self._d) > self.maxsize:
+            self._d.popitem(last=False)
+        return fn
 
 
 class Darknet:
@@ -101,8 +128,10 @@ class ImageDetector:
         max_dets: int = 64,
         interp: str = "bilinear",
         half: bool = False,
+        font_path: Optional[str] = None,
     ):
         self.model = model
+        self.font_path = font_path
         self.class_names = list(class_names) if class_names else list(COCO_NAMES)
         self.cfg = DetectorConfig(
             img_size=model.img_size, conf_thres=conf_thres, nms_thres=nms_thres,
@@ -111,11 +140,10 @@ class ImageDetector:
         # the reference's fp16 `half` flag -> bfloat16 on TPU
         self.compute_dtype = jnp.bfloat16 if half else jnp.float32
         self.interp = interp
-        self._steps: Dict[Tuple[int, int], callable] = {}
+        self._steps = _GeometryCache()
 
     def _step_for(self, h: int, w: int):
-        key = (h, w)
-        if key not in self._steps:
+        def build():
             cfg = self.cfg
             size = cfg.img_size
 
@@ -132,8 +160,9 @@ class ImageDetector:
                 orig = rescale_boxes(boxes7[:, :4], size, h, w)
                 return jnp.concatenate([orig, boxes7[:, 4:]], axis=1), mask[0]
 
-            self._steps[key] = step
-        return self._steps[key]
+            return step
+
+        return self._steps.get((h, w), build)
 
     def detect(self, img_rgb: np.ndarray) -> np.ndarray:
         h, w = img_rgb.shape[:2]
@@ -142,7 +171,8 @@ class ImageDetector:
         return np.asarray(boxes)[np.asarray(mask)]
 
     def draw(self, img_rgb: np.ndarray, detections: np.ndarray) -> np.ndarray:
-        return draw_detections(img_rgb, detections, self.class_names)
+        return draw_detections(img_rgb, detections, self.class_names,
+                               font_path=self.font_path)
 
 
 class VideoDetector:
@@ -193,6 +223,62 @@ class VideoDetector:
                 writer.release()
 
 
+class Extractor:
+    """ReID feature extractor facade (reference:
+    deep_sort/deep/feature_extractor.py:~1-55 -- Extractor(model_path)
+    resizes RGB crops to 64x128 with cv2 bilinear, /255 + ImageNet
+    normalization, batched forward, L2-normalized features).
+
+    ``__call__(im_crops)`` takes a list of HWC uint8 RGB crops (any sizes)
+    and returns (N, feat_dim) float32 numpy features. Batch sizes are
+    padded to powers of two so the jit cache stays bounded."""
+
+    def __init__(self, model_path: Optional[str] = None, use_cuda: bool = True,
+                 max_batch: int = 256):
+        del use_cuda
+        if model_path and os.path.exists(model_path):
+            params = load_reid_checkpoint(model_path)
+        else:
+            params = random_reid_params(seed=0)
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.feat_dim = feat_dim_of(params)
+        self.max_batch = max_batch
+        self._apply = jax.jit(lambda p, x: reid_apply(p, x))
+
+    @staticmethod
+    def _preprocess(crop: np.ndarray) -> np.ndarray:
+        from .ops.crops import CROP_H, CROP_W, REID_MEAN, REID_STD
+
+        try:
+            import cv2
+
+            r = cv2.resize(crop, (CROP_W, CROP_H),
+                           interpolation=cv2.INTER_LINEAR)
+        except ImportError:
+            from PIL import Image
+
+            r = np.asarray(
+                Image.fromarray(crop).resize((CROP_W, CROP_H), Image.BILINEAR)
+            )
+        return (r.astype(np.float32) / 255.0 - REID_MEAN) / REID_STD
+
+    def __call__(self, im_crops: Sequence[np.ndarray]) -> np.ndarray:
+        if not len(im_crops):
+            return np.zeros((0, self.feat_dim), np.float32)
+        batch = np.stack([self._preprocess(c) for c in im_crops])
+        n = batch.shape[0]
+        padded = 1
+        while padded < n:
+            padded *= 2
+        padded = min(padded, max(self.max_batch, n))
+        if padded > n:
+            batch = np.concatenate(
+                [batch, np.zeros((padded - n, *batch.shape[1:]), np.float32)]
+            )
+        feats = np.asarray(self._apply(self.params, batch))
+        return feats[:n]
+
+
 class DeepSort:
     """Reference-compatible tracking facade (deep_sort/deep_sort.py).
 
@@ -214,9 +300,14 @@ class DeepSort:
         max_dets: int = 64,
     ):
         del use_cuda
+        if model_path and os.path.exists(model_path):
+            reid_params = load_reid_checkpoint(model_path)
+        else:
+            reid_params = random_reid_params(seed=0)
         self.cfg = TrackerConfig(
             max_tracks=max_tracks,
             max_dets=max_dets,
+            feat_dim=feat_dim_of(reid_params),
             nn_budget=nn_budget,
             max_dist=max_dist,
             min_confidence=min_confidence,
@@ -225,13 +316,9 @@ class DeepSort:
             max_age=max_age,
             n_init=n_init,
         )
-        if model_path and os.path.exists(model_path):
-            reid_params = load_reid_checkpoint(model_path)
-        else:
-            reid_params = random_reid_params(seed=0)
         self.reid_params = jax.tree_util.tree_map(jnp.asarray, reid_params)
         self.state: TrackerState = init_tracker_state(self.cfg)
-        self._steps: Dict[Tuple[int, int], callable] = {}
+        self._steps = _GeometryCache()
 
     def reset(self):
         self.state = init_tracker_state(self.cfg)
@@ -252,8 +339,7 @@ class DeepSort:
                                      for k in TrackerState._fields})
 
     def _step_for(self, h: int, w: int):
-        key = (h, w)
-        if key not in self._steps:
+        def build():
             cfg = self.cfg
 
             @jax.jit
@@ -269,8 +355,9 @@ class DeepSort:
                 img_hw = jnp.array([h, w], jnp.int32)
                 return tracker_step(cfg, state, tlwh, conf, feats, mask2, img_hw)
 
-            self._steps[key] = step
-        return self._steps[key]
+            return step
+
+        return self._steps.get((h, w), build)
 
     def update(
         self,
@@ -315,19 +402,25 @@ class VideoTracker:
         nms_thres: float = 0.4,
         tracker_config: Optional[TrackerConfig] = None,
         half: bool = False,
+        font_path: Optional[str] = None,
     ):
         self.model = model
+        self.font_path = font_path
         self.class_names = list(class_names) if class_names else list(COCO_NAMES)
         self.det_cfg = DetectorConfig(
             img_size=model.img_size, conf_thres=conf_thres, nms_thres=nms_thres,
             half=half,
         )
         self.compute_dtype = jnp.bfloat16 if half else jnp.float32
-        self.trk_cfg = tracker_config or TrackerConfig()
         if reid_model_path and os.path.exists(reid_model_path):
             reid_params = load_reid_checkpoint(reid_model_path)
         else:
             reid_params = random_reid_params(seed=0)
+        import dataclasses as _dc
+
+        self.trk_cfg = _dc.replace(
+            tracker_config or TrackerConfig(), feat_dim=feat_dim_of(reid_params)
+        )
         self.reid_params = jax.tree_util.tree_map(jnp.asarray, reid_params)
         if tracked_classes:
             self.tracked_class_ids = np.array(
@@ -336,14 +429,13 @@ class VideoTracker:
         else:
             self.tracked_class_ids = None
         self.state = init_tracker_state(self.trk_cfg)
-        self._steps: Dict[Tuple[int, int], callable] = {}
+        self._steps = _GeometryCache()
 
     def reset(self):
         self.state = init_tracker_state(self.trk_cfg)
 
     def _step_for(self, h: int, w: int):
-        key = (h, w)
-        if key not in self._steps:
+        def build():
             det_cfg, trk_cfg = self.det_cfg, self.trk_cfg
             size = det_cfg.img_size
             plan = self.model.plan
@@ -387,8 +479,9 @@ class VideoTracker:
                 )
                 return state, outputs, emit, boxes7, mask
 
-            self._steps[key] = step
-        return self._steps[key]
+            return step
+
+        return self._steps.get((h, w), build)
 
     def save_state(self, path: str) -> None:
         """Checkpoint the tracker runtime state (resume mid-video)."""
@@ -419,18 +512,27 @@ class VideoTracker:
         video_path: str | int,
         output_path: Optional[str] = None,
         real_show: bool = False,
+        skip_frames: int = 0,
     ):
-        """Generator over (annotated_frame_rgb, outputs)."""
+        """Generator over (annotated_frame_rgb, outputs).
+
+        ``skip_frames`` mirrors VideoDetector's convention: run the
+        detect+associate step every (skip_frames+1)-th frame and reuse the
+        last outputs for annotation between (skipped frames never age the
+        tracker -- they simply did not happen)."""
         from .runtime.video import VideoSource, VideoWriter, show_frame
 
         source = VideoSource(video_path)
         writer = VideoWriter(output_path, source.fps, source.size) if output_path else None
         t_last = time.time()
+        outputs = np.zeros((0, 5), np.int64)
         try:
-            for frame_bgr in source:
+            for i, frame_bgr in enumerate(source):
                 frame_rgb = np.ascontiguousarray(frame_bgr[:, :, ::-1])
-                outputs = self.track_frame(frame_rgb)
-                annotated = draw_tracks(frame_rgb, outputs)
+                if skip_frames <= 0 or i % (skip_frames + 1) == 0:
+                    outputs = self.track_frame(frame_rgb)
+                annotated = draw_tracks(frame_rgb, outputs,
+                                        font_path=self.font_path)
                 now = time.time()
                 annotated = draw_fps(annotated, 1.0 / max(now - t_last, 1e-6))
                 t_last = now
@@ -460,34 +562,69 @@ def _color_for(idx: int) -> Tuple[int, int, int]:
     return tuple(int(c) for c in _PALETTE[idx % len(_PALETTE)])
 
 
+_FONTS: Dict[Tuple[str, int], object] = {}
+
+
+def _truetype(font_path: str, size: int):
+    key = (font_path, size)
+    if key not in _FONTS:
+        from PIL import ImageFont
+
+        _FONTS[key] = ImageFont.truetype(font_path, size)
+    return _FONTS[key]
+
+
+def _draw_labels(out: np.ndarray, labels, font_path: Optional[str],
+                 font_size: int = 18) -> np.ndarray:
+    """Render text labels; with ``font_path`` (e.g. the reference's
+    font/sarasa-bold.ttc -- CJK-capable) via PIL truetype like the
+    reference's img_detect.py drawing, else the cv2 Hershey fallback."""
+    if font_path:
+        from PIL import Image, ImageDraw
+
+        font = _truetype(font_path, font_size)
+        im = Image.fromarray(out)
+        d = ImageDraw.Draw(im)
+        for text, (x, y), color in labels:
+            d.text((x, max(y - font_size - 2, 0)), text, fill=color, font=font)
+        return np.asarray(im)
+    import cv2
+
+    for text, (x, y), color in labels:
+        cv2.putText(out, text, (x, max(y - 4, 10)),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.55, color, 2, cv2.LINE_AA)
+    return out
+
+
 def draw_detections(
-    img_rgb: np.ndarray, detections: np.ndarray, class_names: List[str]
+    img_rgb: np.ndarray, detections: np.ndarray, class_names: List[str],
+    font_path: Optional[str] = None,
 ) -> np.ndarray:
     """Box + class-name overlay (reference: PIL drawing in img_detect.py)."""
     import cv2
 
     out = img_rgb.copy()
+    labels = []
     for row in detections:
         x1, y1, x2, y2 = (int(v) for v in row[:4])
         cls = int(row[6])
         color = _color_for(cls)
         cv2.rectangle(out, (x1, y1), (x2, y2), color, 2)
-        label = f"{class_names[cls]} {row[4]:.2f}"
-        cv2.putText(out, label, (x1, max(y1 - 4, 10)),
-                    cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1, cv2.LINE_AA)
-    return out
+        labels.append((f"{class_names[cls]} {row[4]:.2f}", (x1, y1), color))
+    return _draw_labels(out, labels, font_path)
 
 
-def draw_tracks(img_rgb: np.ndarray, outputs: np.ndarray) -> np.ndarray:
+def draw_tracks(img_rgb: np.ndarray, outputs: np.ndarray,
+                font_path: Optional[str] = None) -> np.ndarray:
     import cv2
 
     out = img_rgb.copy()
+    labels = []
     for x1, y1, x2, y2, tid in outputs:
         color = _color_for(int(tid))
         cv2.rectangle(out, (int(x1), int(y1)), (int(x2), int(y2)), color, 2)
-        cv2.putText(out, f"id {int(tid)}", (int(x1), max(int(y1) - 4, 10)),
-                    cv2.FONT_HERSHEY_SIMPLEX, 0.6, color, 2, cv2.LINE_AA)
-    return out
+        labels.append((f"id {int(tid)}", (int(x1), int(y1)), color))
+    return _draw_labels(out, labels, font_path)
 
 
 def draw_fps(img_rgb: np.ndarray, fps: float) -> np.ndarray:

@@ -47,12 +47,24 @@ def _fold(conv_w_oihw, bn_w, bn_b, bn_m, bn_v, conv_b=None):
 
 def load_reid_checkpoint(path: str) -> Dict:
     """Load the reference ``ckpt.t7`` (torch pickle with params under
-    'net_dict') into folded inference params. Requires torch (CPU)."""
+    'net_dict') into folded inference params. Requires torch (CPU).
+
+    Dispatches on the state-dict layout: the default deep/model.py Net
+    (512-d, ReLU) vs deep/original_model.py (128-d, ELU, dense head --
+    the original cosine-metric-learning checkpoint layout)."""
     import torch
 
     state = torch.load(path, map_location="cpu", weights_only=False)
     sd = {k: v.numpy() for k, v in state["net_dict"].items()}
+    if "dense.1.weight" in sd:
+        return original_params_from_state_dict(sd)
     return params_from_state_dict(sd)
+
+
+def feat_dim_of(params: Dict) -> int:
+    """Embedding width of a loaded ReID param pytree (128 for the
+    original_model.py layout, 512 for the default Net)."""
+    return 128 if "dense" in params else FEAT_DIM
 
 
 def params_from_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
@@ -93,6 +105,87 @@ def params_from_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
             "fc2_w": sd["classifier.4.weight"].T.astype(np.float32),
             "fc2_b": sd["classifier.4.bias"].astype(np.float32),
         }
+    return params
+
+
+# ---- original_model.py layout (deep_sort/deep/original_model.py:~1-110):
+# the net matching the original DeepSORT cosine-metric-learning checkpoint
+# (mars-small128): two ELU stem convs 3->32->32 + maxpool, three residual
+# stages (32->32, 32->64 down, 64->128 down) of 2 ELU BasicBlocks, then a
+# dense 128*16*8 -> 128 head. The reid branch applies ONLY the dense Linear
+# (dropout/BN/ELU skipped at inference) and L2-normalizes -- 128-d features.
+# Reconstructed from public knowledge of the upstream file (reference mount
+# empty); validated against a torch replica in tests/test_reid.py.
+
+ORIGINAL_STAGES = [(32, 32, False), (32, 64, True), (64, 128, True)]
+ORIGINAL_FEAT_DIM = 128
+
+
+def original_params_from_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
+    """Map the original_model.py state-dict to folded JAX params."""
+
+    def fold(prefix_conv, prefix_bn):
+        return _fold(
+            sd[f"{prefix_conv}.weight"],
+            sd[f"{prefix_bn}.weight"],
+            sd[f"{prefix_bn}.bias"],
+            sd[f"{prefix_bn}.running_mean"],
+            sd[f"{prefix_bn}.running_var"],
+            conv_b=sd.get(f"{prefix_conv}.bias"),
+        )
+
+    params: Dict = {
+        "stem": fold("conv.0", "conv.1"),
+        "stem2": fold("conv.3", "conv.4"),
+        "layers": [],
+    }
+    for li in range(1, 4):
+        blocks: List[Dict] = []
+        for bi in range(2):
+            p = f"layer{li}.{bi}"
+            block = {
+                "conv1": fold(f"{p}.conv1", f"{p}.bn1"),
+                "conv2": fold(f"{p}.conv2", f"{p}.bn2"),
+                "down": None,
+            }
+            if f"{p}.downsample.0.weight" in sd:
+                block["down"] = fold(f"{p}.downsample.0", f"{p}.downsample.1")
+            blocks.append(block)
+        params["layers"].append(blocks)
+    params["dense"] = {
+        "w": sd["dense.1.weight"].T.astype(np.float32),
+        "b": sd["dense.1.bias"].astype(np.float32),
+    }
+    return params
+
+
+def random_original_reid_params(seed: int = 0) -> Dict:
+    """Random folded params in the original_model.py layout (tests)."""
+    rng = np.random.default_rng(seed)
+
+    def conv(ci, co, k):
+        std = np.sqrt(2.0 / (ci * k * k))
+        return {
+            "w": rng.normal(0, std, (k, k, ci, co)).astype(np.float32),
+            "b": rng.normal(0, 0.1, co).astype(np.float32),
+        }
+
+    params: Dict = {"stem": conv(3, 32, 3), "stem2": conv(32, 32, 3),
+                    "layers": []}
+    for ci, co, down in ORIGINAL_STAGES:
+        blocks = []
+        for bi in range(2):
+            first = bi == 0
+            blocks.append({
+                "conv1": conv(ci if first else co, co, 3),
+                "conv2": conv(co, co, 3),
+                "down": conv(ci, co, 1) if (first and (down or ci != co)) else None,
+            })
+        params["layers"].append(blocks)
+    params["dense"] = {
+        "w": rng.normal(0, 0.01, (128 * 16 * 8, 128)).astype(np.float32),
+        "b": np.zeros(128, np.float32),
+    }
     return params
 
 
@@ -146,6 +239,44 @@ def _conv(x, p, stride, pad, compute_dtype):
     return out + jnp.asarray(p["b"], jnp.float32)[None, None, None, :]
 
 
+def _original_apply(params: Dict, x: jnp.ndarray, compute_dtype) -> jnp.ndarray:
+    """original_model.py forward: ELU net -> dense Linear -> L2 norm, 128-d."""
+    import jax.nn
+
+    elu = jax.nn.elu
+    out = elu(_conv(x, params["stem"], 1, 1, compute_dtype))
+    out = elu(_conv(out.astype(compute_dtype), params["stem2"], 1, 1,
+                    compute_dtype)).astype(compute_dtype)
+    out = lax.reduce_window(
+        out, -jnp.inf, lax.max,
+        window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
+        padding=[(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    for blocks in params["layers"]:
+        for block in blocks:
+            stride = 1
+            if block["down"] is not None:
+                ci = block["conv1"]["w"].shape[2]
+                co = block["conv1"]["w"].shape[3]
+                stride = 2 if ci != co else 1
+            y = elu(_conv(out, block["conv1"], stride, 1, compute_dtype))
+            y = _conv(y.astype(compute_dtype), block["conv2"], 1, 1,
+                      compute_dtype)
+            if block["down"] is not None:
+                shortcut = _conv(out, block["down"], stride, 0, compute_dtype)
+            else:
+                shortcut = out.astype(jnp.float32)
+            out = elu(y + shortcut).astype(compute_dtype)
+    # torch flattens NCHW: (N, 128, 16, 8) -> (N, 16384)
+    n = out.shape[0]
+    flat = out.astype(jnp.float32).transpose(0, 3, 1, 2).reshape(n, -1)
+    feat = flat @ jnp.asarray(params["dense"]["w"]) + jnp.asarray(
+        params["dense"]["b"]
+    )
+    norm = jnp.linalg.norm(feat, axis=1, keepdims=True)
+    return feat / jnp.maximum(norm, 1e-12)
+
+
 def reid_apply(
     params: Dict,
     x: jnp.ndarray,
@@ -154,9 +285,18 @@ def reid_apply(
 ) -> jnp.ndarray:
     """Forward pass. x: (N, 128, 64, 3) NHWC, already /255 + ImageNet-normed.
 
-    reid mode (default): (N, 512) L2-normalized features.
+    reid mode (default): (N, 512) L2-normalized features -- or (N, 128) when
+    ``params`` carries the original_model.py layout (dispatched on the
+    presence of its dense head; layout is static at trace time).
     classify mode: (N, num_classes) logits (eval-mode classifier: BN affine,
     dropout off) -- used by the Market-1501 eval CLI."""
+    if "dense" in params:
+        if classify:
+            raise ValueError(
+                "classify mode is not supported for the original_model.py "
+                "layout (its classifier head is not loaded)"
+            )
+        return _original_apply(params, x, compute_dtype)
     out = _conv(x, params["stem"], 1, 1, compute_dtype)
     out = jnp.maximum(out, 0.0).astype(compute_dtype)
     # maxpool 3x3 stride 2 pad 1 (-inf padding, like torch MaxPool2d)
