@@ -118,7 +118,7 @@ def synthetic_eval(seed: int = 0, n_frames: int = 120, n_objects: int = 8,
 
 
 def sequence_eval(seq_dir: str, detector: str | None, weights: str | None,
-                  reid_ckpt: str | None, img_size: int):
+                  reid_ckpt: str | None, img_size: int, max_dets: int = 64):
     from yolo_deepsort_tpu.api import Darknet, DeepSort, VideoTracker
     from yolo_deepsort_tpu.utils.mot import (
         evaluate_mot,
@@ -149,7 +149,7 @@ def sequence_eval(seq_dir: str, detector: str | None, weights: str | None,
             hyp_frames.append(vt.track_frame(img).astype(np.float64))
     else:
         dets = load_mot_file(det_path, person_only=False)
-        ds = DeepSort(model_path=reid_ckpt)
+        ds = DeepSort(model_path=reid_ckpt, max_dets=max_dets)
         for i, fname in enumerate(frames):
             img = np.asarray(Image.open(os.path.join(img_dir, fname)).convert("RGB"))
             rows = dets.get(i + 1)
@@ -183,6 +183,7 @@ def main():
     p.add_argument("--weights", default=None)
     p.add_argument("--reid-ckpt", default=None)
     p.add_argument("--img-size", type=int, default=416)
+    p.add_argument("--max-dets", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -199,7 +200,8 @@ def main():
         }))
     elif args.seq:
         m = sequence_eval(args.seq, args.detector, args.weights,
-                          args.reid_ckpt, args.img_size)
+                          args.reid_ckpt, args.img_size,
+                          max_dets=args.max_dets)
         print(m)
         print(json.dumps({"mota": round(m.mota, 4), "idsw": m.id_switches}))
     else:

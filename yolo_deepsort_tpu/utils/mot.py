@@ -154,8 +154,8 @@ def load_mot_file(
         conf = row[6] if len(row) > 6 else 1.0
         if len(row) > 7 and person_only and int(row[7]) not in (1, -1):
             continue  # MOT16 gt class 1 = pedestrian
-        if len(row) > 8 and row[8] < min_visibility:
-            continue
+        if len(row) > 8 and 0 <= row[8] < min_visibility:
+            continue  # det.txt rows carry -1 placeholders, not visibility
         if conf == 0:
             continue  # MOT16 gt conf 0 = ignore region
         frames.setdefault(frame, []).append(
