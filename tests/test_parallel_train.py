@@ -302,3 +302,122 @@ def test_cross_camera_gallery_match():
         assert best_id[c, 0] == 100 + (c + 1) % n, (c, best_id[c])
         assert best_dist[c, 0] < 1e-4
         assert best_id[c, 1] == -1  # masked query
+
+
+def test_global_id_handoff_across_cameras():
+    """BASELINE config 5 end-to-end: an object leaves camera 0 (chip 0) and
+    appears on camera 7 (chip 7) with the same appearance; after the
+    global-ID step, camera 7's track carries camera 0's GLOBAL id."""
+    from functools import partial
+
+    from yolo_deepsort_tpu.parallel.streams import (
+        init_global_ids,
+        make_global_id_step,
+        make_stream_mesh,
+        relabel_outputs_global,
+    )
+    from yolo_deepsort_tpu.tracking.tracker import (
+        init_tracker_state,
+        tracker_step,
+    )
+
+    n = len(jax.devices())
+    mesh = make_stream_mesh(n)
+    cfg = TrackerConfig(max_tracks=8, max_dets=4, feat_dim=32, nn_budget=5)
+    step = jax.jit(jax.vmap(partial(tracker_step, cfg)))
+    gid_step = make_global_id_step(mesh, cfg, n_streams_total=n)
+
+    rng = np.random.default_rng(0)
+    f_obj = rng.normal(size=32); f_obj /= np.linalg.norm(f_obj)
+    img_hw = jnp.broadcast_to(jnp.array([720, 1280], jnp.int32), (n, 2))
+
+    states = init_stream_states(cfg, n)
+    gids = init_global_ids(cfg, n)
+    sharded = NamedSharding(mesh, P("stream"))
+    states = jax.device_put(states, sharded)
+    gids = jax.device_put(gids, sharded)
+
+    def frame_inputs(t):
+        d = cfg.max_dets
+        tlwh = np.zeros((n, d, 4), np.float32)
+        conf = np.zeros((n, d), np.float32)
+        feat = np.zeros((n, d, 32), np.float32)
+        mask = np.zeros((n, d), bool)
+        if t < 10:  # camera 0 sees the object
+            tlwh[0, 0] = [200 + 5 * t, 300, 40, 80]
+            conf[0, 0] = 0.9
+            feat[0, 0] = f_obj + rng.normal(0, 0.02, 32)
+            feat[0, 0] /= np.linalg.norm(feat[0, 0])
+            mask[0, 0] = True
+        if t >= 8:  # camera 7 picks it up (overlap frames 8-9)
+            tlwh[7, 0] = [100 + 5 * t, 400, 40, 80]
+            conf[7, 0] = 0.9
+            feat[7, 0] = f_obj + rng.normal(0, 0.02, 32)
+            feat[7, 0] /= np.linalg.norm(feat[7, 0])
+            mask[7, 0] = True
+        return tlwh, conf, feat, mask
+
+    outputs = emit = None
+    for t in range(16):
+        tlwh, conf, feat, mask = frame_inputs(t)
+        states, outputs, emit = step(states, tlwh, conf, feat, mask, img_hw)
+        gids = gid_step(states, gids)
+
+    g = np.asarray(gids.gid)
+    trk = np.asarray(states.state)
+    # camera 0's track died out of frame; camera 7's track is confirmed and
+    # carries camera 0's global id (=1: stream 0, first track)
+    lane7 = int(np.argmax(trk[7] == 2))
+    assert trk[7, lane7] == 2
+    assert g[7, lane7] == 1, f"no handoff: gids cam7 = {g[7]}"
+    out_g = np.asarray(relabel_outputs_global(outputs, gids))
+    em = np.asarray(emit)
+    assert out_g[7][em[7]][0, 4] == 1  # emitted rows show the global id
+
+
+def test_global_id_no_false_aliasing():
+    """Distinct-appearance tracks on different cameras must keep distinct
+    global ids; same-camera tracks never alias."""
+    from functools import partial
+
+    from yolo_deepsort_tpu.parallel.streams import (
+        init_global_ids,
+        make_global_id_step,
+        make_stream_mesh,
+    )
+    from yolo_deepsort_tpu.tracking.tracker import tracker_step
+
+    n = len(jax.devices())
+    mesh = make_stream_mesh(n)
+    cfg = TrackerConfig(max_tracks=8, max_dets=4, feat_dim=32, nn_budget=5)
+    step = jax.jit(jax.vmap(partial(tracker_step, cfg)))
+    gid_step = make_global_id_step(mesh, cfg, n_streams_total=n)
+
+    rng = np.random.default_rng(3)
+    feats = rng.normal(size=(n, 2, 32))
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    img_hw = jnp.broadcast_to(jnp.array([720, 1280], jnp.int32), (n, 2))
+    sharded = NamedSharding(mesh, P("stream"))
+    states = jax.device_put(init_stream_states(cfg, n), sharded)
+    gids = jax.device_put(init_global_ids(cfg, n), sharded)
+
+    for t in range(6):
+        d = cfg.max_dets
+        tlwh = np.zeros((n, d, 4), np.float32)
+        conf = np.zeros((n, d), np.float32)
+        feat = np.zeros((n, d, 32), np.float32)
+        mask = np.zeros((n, d), bool)
+        for s in range(n):
+            for j in range(2):  # two distinct objects per camera
+                tlwh[s, j] = [150 + 300 * j + 4 * t, 300, 40, 80]
+                conf[s, j] = 0.9
+                feat[s, j] = feats[s, j]
+                mask[s, j] = True
+        states, outputs, emit = step(states, tlwh, conf, feat, mask, img_hw)
+        gids = gid_step(states, gids)
+
+    g = np.asarray(gids.gid)
+    trk = np.asarray(states.state)
+    live = g[trk == 2]
+    assert len(live) == 2 * n
+    assert len(set(live.tolist())) == 2 * n, f"false aliasing: {sorted(live)}"

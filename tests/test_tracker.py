@@ -194,6 +194,94 @@ def test_low_confidence_filtered():
     assert all(len(x) == 0 for x in j)
 
 
+@pytest.mark.parametrize("seed", range(2))
+def test_parity_high_density(seed):
+    """32 simultaneous objects (round-1 fuzz capped at 5): the JV cascade,
+    gating and init paths must stay frame-level equal to the oracle at a
+    realistic MOT crowd density."""
+    frames = make_scenario(100 + seed, n_objects=32, n_frames=18, dropout=0.05)
+    cfg = TrackerConfig(max_tracks=96, max_dets=48, feat_dim=FEAT_DIM,
+                        nn_budget=10)
+    compare(run_oracle(frames, nn_budget=10), run_jax(frames, cfg))
+
+
+def test_parity_gallery_budget_wraparound():
+    """A track updated >100 times wraps the nn_budget=100 ring buffer; the
+    oracle trims a list to the last 100 -- same feature SET, so cosine
+    distances (min over gallery) must stay equal."""
+    frames = make_scenario(7, n_objects=3, n_frames=130, dropout=0.04)
+    cfg = TrackerConfig(max_tracks=32, max_dets=16, feat_dim=FEAT_DIM,
+                        nn_budget=100)
+    compare(run_oracle(frames, nn_budget=100), run_jax(frames, cfg))
+
+
+def test_parity_lane_churn():
+    """Many short-lived objects: total births far exceed max_tracks, so
+    deleted lanes must recycle with fresh ids in oracle order."""
+    rng = np.random.default_rng(9)
+    frames = []
+    n_frames, wave = 60, 6
+    feats = rng.normal(size=(200, FEAT_DIM))
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    for t in range(n_frames):
+        rows, confs, fs = [], [], []
+        # each wave of objects lives 8 frames then vanishes
+        w_idx = t // 8
+        for j in range(wave):
+            k = w_idx * wave + j
+            if t % 8 == 7:
+                continue  # gap frame between waves
+            rows.append([120 + 90 * j + 3 * (t % 8), 200 + 10 * j, 40, 90])
+            confs.append(0.9)
+            fs.append(feats[k])
+        frames.append((np.array(rows, np.float64).reshape(-1, 4), confs,
+                       np.array(fs, np.float64).reshape(-1, FEAT_DIM)))
+    # max_age=3 so vanished waves delete quickly and lanes recycle;
+    # total births = 8 waves * 6 objects = 48 > max_tracks = 16
+    cfg = TrackerConfig(max_tracks=16, max_dets=8, feat_dim=FEAT_DIM,
+                        nn_budget=5, max_age=3)
+    compare(run_oracle(frames, nn_budget=5, max_age=3), run_jax(frames, cfg))
+
+
+def test_max_tracks_exhaustion_is_sane():
+    """Live population above max_tracks has no oracle analog (the reference
+    list is unbounded): the fixed-lane tracker must saturate gracefully --
+    never crash, never emit more than max_tracks rows, never reuse a live
+    id, and keep tracking the objects it did admit."""
+    rng = np.random.default_rng(11)
+    n_obj = 24
+    feats = rng.normal(size=(n_obj, FEAT_DIM))
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    cfg = TrackerConfig(max_tracks=12, max_dets=32, feat_dim=FEAT_DIM,
+                        nn_budget=5)
+    step = jax.jit(partial(tracker_step, cfg))
+    state = init_tracker_state(cfg)
+    img_hw = np.array(IMG_HW, np.int32)
+    d = cfg.max_dets
+    seen_ids = set()
+    for t in range(12):
+        tlwh = np.zeros((d, 4), np.float32)
+        conf = np.zeros((d,), np.float32)
+        feat = np.zeros((d, FEAT_DIM), np.float32)
+        mask = np.zeros((d,), bool)
+        for k in range(n_obj):
+            tlwh[k] = [40 * k + 2 * t, 300, 35, 70]
+            conf[k] = 0.9
+            feat[k] = feats[k]
+            mask[k] = True
+        state, boxes, emit = step(state, tlwh, conf, feat, mask, img_hw)
+        boxes, emit = np.asarray(boxes), np.asarray(emit)
+        live = np.asarray(state.state) > 0
+        assert live.sum() <= cfg.max_tracks
+        out_ids = boxes[emit][:, 4].tolist()
+        assert len(out_ids) == len(set(out_ids)), "duplicate live id emitted"
+        seen_ids.update(out_ids)
+    # the admitted tracks confirmed and stayed stable at capacity
+    assert (np.asarray(state.state) == 2).sum() == cfg.max_tracks
+    assert len(seen_ids) == cfg.max_tracks
+    assert np.isfinite(np.asarray(state.mean)).all()
+
+
 def test_nn_budget_one_gallery_updates():
     """nn_budget=1: the head must wrap to 0 at init so matched-frame feature
     writes land (round-1 advisor: head was stuck at the out-of-range index 1,

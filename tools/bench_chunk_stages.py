@@ -1,0 +1,147 @@
+"""Chunked-pipeline stage attribution under the HONEST bench load.
+
+Times the bucketed scanned step's two dispatches separately -- the detect
+stage (letterbox -> backbone -> NMS over K*S frames) and the track stage
+(rescale -> crop -> embed -> scanned association) at each capacity bucket --
+with the same BN-consistent weights, calibrated threshold, static frames,
+and saturated tracker population as bench.py. Every loop chains a data
+dependency (tracker state, or an isnan bump into the frames) so the tunnel
+cannot elide or overlap executions.
+
+Usage: python tools/bench_chunk_stages.py [--scan 16] [--steps 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="yolov3")
+    p.add_argument("--img-size", type=int, default=416)
+    p.add_argument("--streams", type=int, default=8)
+    p.add_argument("--frame-h", type=int, default=1080)
+    p.add_argument("--frame-w", type=int, default=1920)
+    p.add_argument("--scan", type=int, default=16)
+    p.add_argument("--steps", type=int, default=8)
+    p.add_argument("--target-dets", type=int, default=32)
+    p.add_argument("--caps", default="32,48,64")
+    args = p.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))), ".jax_cache"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_deepsort_tpu.cfg.architectures import ARCHITECTURES
+    from yolo_deepsort_tpu.config import DetectorConfig, TrackerConfig
+    from yolo_deepsort_tpu.models import weights as W
+    from yolo_deepsort_tpu.models.darknet import build_network, network_apply
+    from yolo_deepsort_tpu.models.reid import random_reid_params
+    from yolo_deepsort_tpu.ops.letterbox import letterbox
+    from yolo_deepsort_tpu.parallel.streams import (
+        init_stream_states,
+        make_scanned_detect_stage,
+        make_scanned_track_stage,
+    )
+    from yolo_deepsort_tpu.train.yolo_cli import (
+        make_forward_train,
+        raw_params_to_train,
+        train_params_to_raw,
+    )
+
+    k, s = args.scan, args.streams
+    hw = (args.frame_h, args.frame_w)
+    plan = build_network(ARCHITECTURES[args.model](img_size=args.img_size))
+    raw = W.random_raw_params(plan.defs(), seed=0)
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, (s, *hw, 3), dtype=np.uint8)
+    frames = jnp.asarray(np.broadcast_to(base[None], (k, s, *hw, 3)).copy())
+
+    t_params, t_stats = raw_params_to_train(raw, plan.defs())
+    capture = jax.jit(
+        lambda p, st, x: make_forward_train(plan, bn_update=1.0)(p, st, x)[1]
+    )
+    xs = jax.vmap(lambda f: letterbox(f, args.img_size))(frames[0])
+    new_stats = jax.device_get(capture(t_params, t_stats, xs))
+    raw = train_params_to_raw(t_params, {**t_stats, **new_stats}, plan.defs())
+    det_params = jax.tree_util.tree_map(
+        jnp.asarray, W.fold_inference_params(raw, plan.defs()))
+    reid_params = jax.tree_util.tree_map(jnp.asarray, random_reid_params(0))
+
+    kth = args.target_dets
+
+    @jax.jit
+    def obj_quantile(dp, flat):
+        x = jax.vmap(lambda f: letterbox(f, args.img_size))(flat)
+        d = network_apply(plan, dp, x, compute_dtype=jnp.bfloat16)
+        top = jax.lax.top_k(d[..., 4], kth + 1)[0]
+        return jnp.median(top[:, kth])
+
+    thr = float(obj_quantile(det_params, frames[0]))
+    det_cfg = DetectorConfig(img_size=args.img_size, conf_thres=thr)
+    trk_cfg = TrackerConfig(max_dets=64)
+
+    detect = make_scanned_detect_stage(
+        plan, det_cfg, trk_cfg, hw, compute_dtype=jnp.bfloat16,
+        use_pallas_letterbox=True)
+
+    # --- detect loop, isnan-bump chained
+    @jax.jit
+    def detect_chained(dp, fr, bump):
+        b7, m, mc = detect(dp, fr)
+        nb = jnp.isnan(jnp.sum(b7)).astype(jnp.uint8)
+        return b7, m, mc, nb
+
+    bump = jnp.uint8(0)
+    b7 = m = None
+    for _ in range(2):
+        b7, m, mc, bump = detect_chained(det_params, frames, bump)
+    jax.block_until_ready(b7)
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        b7, m, mc, bump = detect_chained(det_params, frames, bump)
+    jax.block_until_ready(b7)
+    dt_detect = (time.perf_counter() - t0) / args.steps * 1e3
+    n_frames = k * s
+    out = {"detect_ms_per_chunk": round(dt_detect, 1),
+           "max_count": int(mc), "chunk_frames": n_frames}
+
+    # --- track stage per capacity, state chained + saturating warmup
+    for cap in (int(c) for c in args.caps.split(",")):
+        track = make_scanned_track_stage(
+            det_cfg, trk_cfg, hw, cap, compute_dtype=jnp.bfloat16,
+            donate_state=False)
+        states = init_stream_states(trk_cfg, s)
+        for _ in range(3):
+            states, (outs, emit) = track(reid_params, states, frames, b7, m)
+        jax.block_until_ready(outs)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            states, (outs, emit) = track(reid_params, states, frames, b7, m)
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / args.steps * 1e3
+        tracks = float(jnp.mean(jnp.sum(states.state == 2, axis=-1)))
+        out[f"track_ms_cap{cap}"] = round(dt, 1)
+        out[f"tracks_cap{cap}"] = round(tracks, 1)
+
+    out["note"] = ("per-frame ms = chunk ms / chunk_frames; detect+track at "
+                   "the selected bucket approximates the bucketed step")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -91,25 +91,45 @@ def _nms_single(
 
 
 @partial(
-    jax.jit, static_argnames=("conf_thres", "nms_thres", "max_boxes", "max_dets")
+    jax.jit, static_argnames=("nms_thres", "max_boxes", "max_dets")
 )
+def _batched_nms_per_image(
+    pred: jnp.ndarray,  # (N, B, 5+C)
+    conf_thres: jnp.ndarray,  # (N,) per-image thresholds
+    nms_thres: float,
+    max_boxes: int,
+    max_dets: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    fn = partial(
+        _nms_single, nms_thres=nms_thres, max_boxes=max_boxes,
+        max_dets=max_dets,
+    )
+    return jax.vmap(lambda p, c: fn(p, conf_thres=c))(pred, conf_thres)
+
+
 def batched_nms(
     pred: jnp.ndarray,  # (N, B, 5+C) decoded YOLO output, boxes cxcywh px
-    conf_thres: float = 0.5,
+    conf_thres=0.5,
     nms_thres: float = 0.4,
     max_boxes: int = 512,
     max_dets: int = 64,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (dets (N, MAX_DETS, 7), mask (N, MAX_DETS)); det rows are
-    (x1, y1, x2, y2, obj_conf, cls_conf, cls_pred) like the reference."""
-    fn = partial(
-        _nms_single,
-        conf_thres=conf_thres,
-        nms_thres=nms_thres,
-        max_boxes=max_boxes,
-        max_dets=max_dets,
+    (x1, y1, x2, y2, obj_conf, cls_conf, cls_pred) like the reference.
+
+    ``conf_thres`` is a scalar, or a per-image (N,) array (used by the
+    load-equalized bench: per-stream thresholds keep detection counts --
+    and so the selected capacity bucket -- uniform across streams)."""
+    if not isinstance(conf_thres, (float, int)):
+        return _batched_nms_per_image(
+            pred, jnp.asarray(conf_thres, jnp.float32), nms_thres, max_boxes,
+            max_dets,
+        )
+    return _batched_nms_per_image(
+        pred,
+        jnp.full((pred.shape[0],), float(conf_thres), jnp.float32),
+        nms_thres, max_boxes, max_dets,
     )
-    return jax.vmap(fn)(pred)
 
 
 def roi_nms_mask(

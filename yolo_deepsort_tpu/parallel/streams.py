@@ -7,7 +7,7 @@ ReID gallery, section 5.8)."""
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -226,6 +226,7 @@ def make_scanned_detect_stage(
     frame_hw: Tuple[int, int],
     compute_dtype=jnp.float32,
     use_pallas_letterbox: bool = False,
+    conf_thres_per_stream=None,  # optional (S,) overriding det_cfg.conf_thres
 ):
     """Detection half of the bucketed scanned step: letterbox -> backbone ->
     NMS over the whole (K, S) chunk at FULL det capacity.
@@ -239,6 +240,9 @@ def make_scanned_detect_stage(
     h, w = frame_hw
     size = det_cfg.img_size
 
+    thr = (None if conf_thres_per_stream is None
+           else np.asarray(conf_thres_per_stream, np.float32))
+
     def detect(det_params, frames):
         k, s = frames.shape[0], frames.shape[1]
         flat = frames.reshape(k * s, h, w, 3)
@@ -249,8 +253,9 @@ def make_scanned_detect_stage(
         decoded = network_apply(
             plan, det_params, xs, compute_dtype=compute_dtype
         )
+        conf = det_cfg.conf_thres if thr is None else jnp.tile(thr, k)
         boxes7, mask = batched_nms(
-            decoded, det_cfg.conf_thres, det_cfg.nms_thres,
+            decoded, conf, det_cfg.nms_thres,
             det_cfg.max_boxes, trk_cfg.max_dets,
         )
         max_count = jnp.max(jnp.sum(mask, axis=-1)).astype(jnp.int32)
@@ -354,10 +359,12 @@ class BucketedScannedStep:
         compute_dtype=jnp.float32,
         donate_state: bool = True,
         use_pallas_letterbox: bool = False,
+        conf_thres_per_stream=None,
     ):
         self._detect = make_scanned_detect_stage(
             plan, det_cfg, trk_cfg, frame_hw, compute_dtype=compute_dtype,
             use_pallas_letterbox=use_pallas_letterbox,
+            conf_thres_per_stream=conf_thres_per_stream,
         )
         self._buckets = tuple(sorted(
             {b for b in buckets if b < trk_cfg.max_dets} | {trk_cfg.max_dets}
@@ -377,8 +384,19 @@ class BucketedScannedStep:
                 return b
         return self._buckets[-1]
 
-    def __call__(self, det_params, reid_params, states, frames):
+    def detect(self, det_params, frames):
+        """Enqueue the detect stage; returns an opaque handle for track().
+        Dispatching the NEXT chunk's detect before reading THIS chunk's
+        count hides the bucket-selection readback behind device work (the
+        readback sync otherwise idles the chip for one host round-trip per
+        chunk -- measured ~50 ms through the axon tunnel)."""
         boxes7, mask, max_count = self._detect(det_params, frames)
+        return (frames, boxes7, mask, max_count)
+
+    def track(self, reid_params, states, handle):
+        """Finish a chunk started with detect(): reads the 1-int count,
+        picks the capacity bucket, runs the track stage."""
+        frames, boxes7, mask, max_count = handle
         count = int(max_count)
         cap = self._bucket_for(count)
         self.last_bucket, self.last_max_count = cap, count
@@ -386,6 +404,10 @@ class BucketedScannedStep:
         if fn is None:
             fn = self._track[cap] = self._mk(cap)
         return fn(reid_params, states, frames, boxes7, mask)
+
+    def __call__(self, det_params, reid_params, states, frames):
+        return self.track(reid_params, states,
+                          self.detect(det_params, frames))
 
 
 def make_scanned_step_bucketed(
@@ -398,11 +420,13 @@ def make_scanned_step_bucketed(
     compute_dtype=jnp.float32,
     donate_state: bool = True,
     use_pallas_letterbox: bool = False,
+    conf_thres_per_stream=None,
 ) -> BucketedScannedStep:
     return BucketedScannedStep(
         plan, det_cfg, trk_cfg, frame_hw, buckets=buckets,
         tracked_class_ids=tracked_class_ids, compute_dtype=compute_dtype,
         donate_state=donate_state, use_pallas_letterbox=use_pallas_letterbox,
+        conf_thres_per_stream=conf_thres_per_stream,
     )
 
 
@@ -471,6 +495,155 @@ def shared_gallery_distance(local_feats: jnp.ndarray, axis: str = "stream"):
     against every camera's gallery. Call inside shard_map/jit with the mesh
     axis in scope."""
     return jax.lax.all_gather(local_feats, axis, tiled=True)
+
+
+class GlobalIDState(NamedTuple):
+    """Cross-camera aliasing table, lane-aligned with TrackerState.
+
+    ``gid``  (S, T) int32: the global id reported for each track lane
+    ``owner`` (S, T) int32: the local track_id the gid was assigned for --
+    when a lane is recycled (track_id changes) the gid resets to that
+    track's provisional global id."""
+
+    gid: jnp.ndarray
+    owner: jnp.ndarray
+
+
+def init_global_ids(trk_cfg: TrackerConfig, n_streams: int) -> GlobalIDState:
+    z = jnp.zeros((n_streams, trk_cfg.max_tracks), jnp.int32)
+    return GlobalIDState(gid=z, owner=z)
+
+
+def relabel_outputs_global(outputs: jnp.ndarray, gids: GlobalIDState):
+    """Replace the local track-id column of lane-aligned tracker outputs
+    (..., T, 5) with global ids (S, T)."""
+    return jnp.concatenate(
+        [outputs[..., :4],
+         jnp.broadcast_to(gids.gid[..., None], outputs[..., :1].shape)
+         .astype(outputs.dtype)],
+        axis=-1,
+    )
+
+
+def make_global_id_step(
+    mesh: Mesh,
+    trk_cfg: TrackerConfig,
+    n_streams_total: int,
+    axis: str = "stream",
+    match_thresh: Optional[float] = None,
+):
+    """Cross-camera global-ID handoff (BASELINE config 5 -- the capability
+    the reference never had; round-1 shipped only the matcher helper).
+
+    Each call:
+      1. assigns provisional global ids to newly-born lanes
+         (gid = (track_id-1) * n_streams_total + global_stream_index + 1 --
+         unique across the mesh, ordered by birth within a stream),
+      2. all_gathers every confirmed track's FRESHEST gallery feature over
+         the ICI mesh (the design's single hot-path collective, SURVEY.md
+         section 5.8),
+      3. matches them against every OTHER camera's confirmed-track galleries
+         (cosine, min over each ring buffer; same-stream candidates masked),
+      4. where the best cross-camera distance beats ``match_thresh``
+         (default: the tracker's max_dist appearance gate), the lane ADOPTS
+         the smaller global id: min-adoption is commutative and idempotent,
+         so repeated calls converge to the oldest id across the camera set
+         -- an object crossing cameras keeps one global identity.
+
+    Returns a jitted fn (states, gids: GlobalIDState) -> GlobalIDState.
+    Call it after tracking steps at any cadence (every chunk is typical);
+    it is O(tracks^2) matmul work + two all_gathers, far below the
+    detect/embed cost."""
+    from ..tracking.tracker import STATE_CONFIRMED
+
+    thresh = trk_cfg.max_dist if match_thresh is None else match_thresh
+    n_chips = mesh.devices.size
+
+    def step(states, gids):
+        def shard_fn(gallery, gallery_head, gallery_count, trk_state,
+                     track_id, gid, owner):
+            s_loc, t = track_id.shape
+            chip = jax.lax.axis_index(axis)
+            s_per_chip = n_streams_total // n_chips
+            stream_idx = chip * s_per_chip + jnp.arange(s_loc, dtype=jnp.int32)
+
+            # 1. provisional ids for fresh lanes (or recycled ones)
+            prov = jnp.where(
+                track_id > 0,
+                (track_id - 1) * n_streams_total + stream_idx[:, None] + 1,
+                0,
+            )
+            fresh = (track_id != owner) | (gid == 0)
+            gid = jnp.where(fresh, prov, gid)
+            owner = track_id
+
+            # 2. queries: freshest gallery feature of each confirmed track
+            f = gallery.shape[-1]
+            b = gallery.shape[-2]
+            last = (gallery_head - 1) % b
+            q_feat = jnp.take_along_axis(
+                gallery, last[..., None, None], axis=2
+            )[:, :, 0, :]  # (S_loc, T, F)
+            q_ok = (trk_state == STATE_CONFIRMED) & (gallery_count > 0)
+            q_loc = s_loc * t
+            my_q = q_feat.reshape(q_loc, f)
+            my_qok = q_ok.reshape(q_loc)
+            my_qgid = gid.reshape(q_loc)
+            my_qstream = jnp.broadcast_to(
+                stream_idx[:, None], (s_loc, t)
+            ).reshape(q_loc)
+            all_q = jax.lax.all_gather(my_q, axis, tiled=True)
+            all_qok = jax.lax.all_gather(my_qok, axis, tiled=True)
+            all_qgid = jax.lax.all_gather(my_qgid, axis, tiled=True)
+            all_qstream = jax.lax.all_gather(my_qstream, axis, tiled=True)
+
+            # 3. my confirmed tracks as candidates vs ALL queries
+            sims = jnp.einsum("stbf,qf->stbq", gallery, all_q)
+            valid = (jnp.arange(b)[None, None, :]
+                     < gallery_count[:, :, None])
+            sims = jnp.where(valid[..., None], sims, -jnp.inf)
+            dist = 1.0 - jnp.max(sims, axis=2)  # (S_loc, T, Q)
+            cand_ok = (trk_state == STATE_CONFIRMED) & (gallery_count > 0)
+            dist = jnp.where(cand_ok[..., None], dist, jnp.inf)
+            # same-stream candidates never alias (handoff is cross-camera)
+            same_stream = stream_idx[:, None, None] == all_qstream[None, None, :]
+            dist = jnp.where(same_stream, jnp.inf, dist)
+            dist = jnp.where(all_qok[None, None, :], dist, jnp.inf)
+            dist2 = dist.reshape(-1, all_q.shape[0])
+            local_best = jnp.argmin(dist2, axis=0)
+            cols = jnp.arange(all_q.shape[0])
+            ld = dist2[local_best, cols]
+            lgid = gid.reshape(-1)[local_best]
+
+            # 4. global best per query, then my lanes adopt the smaller gid
+            all_ld = jax.lax.all_gather(ld, axis)      # (n, Q)
+            all_lgid = jax.lax.all_gather(lgid, axis)
+            win = jnp.argmin(all_ld, axis=0)
+            g_dist = all_ld[win, cols]
+            g_gid = all_lgid[win, cols]
+            my_dist = jax.lax.dynamic_slice(
+                g_dist, (chip * q_loc,), (q_loc,))
+            my_best = jax.lax.dynamic_slice(
+                g_gid, (chip * q_loc,), (q_loc,))
+            adopt = my_qok & (my_dist < thresh) & (my_best > 0) & (
+                my_best < my_qgid
+            )
+            new_gid = jnp.where(adopt, my_best, my_qgid).reshape(s_loc, t)
+            return new_gid, owner
+
+        fn = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(axis),) * 7,
+            out_specs=(P(axis), P(axis)),
+        )
+        new_gid, owner = fn(
+            states.gallery, states.gallery_head, states.gallery_count,
+            states.state, states.track_id, gids.gid, gids.owner,
+        )
+        return GlobalIDState(gid=new_gid, owner=owner)
+
+    return jax.jit(step)
 
 
 def make_cross_camera_matcher(

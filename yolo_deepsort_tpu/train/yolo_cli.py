@@ -100,14 +100,15 @@ def train_params_to_raw(params, stats, module_defs):
     return raw
 
 
-def make_detection_train_step(plan, tx, bn_update=0.01):
-    """Jitted train step over raw/unfolded params with live BN statistics."""
-    import jax
+def make_forward_train(plan, bn_update=0.01):
+    """Train-mode forward over raw/unfolded params: batch-stat BN, returns
+    (raw yolo maps, updated BN stats). ``bn_update=1.0`` makes the returned
+    stats the exact batch statistics (used by bench.py to synthesize
+    BN-consistent random weights)."""
     import jax.lax as lax
     import jax.numpy as jnp
 
     from ..models.darknet import _activate, _maxpool, _upsample, _resolve
-    from .yolo_loss import yolo_loss
 
     defs = plan.defs()
 
@@ -163,6 +164,17 @@ def make_detection_train_step(plan, tx, bn_update=0.01):
                 cache[i] = out
             prev = out
         return raw_maps, new_stats
+
+    return forward_train
+
+
+def make_detection_train_step(plan, tx, bn_update=0.01):
+    """Jitted train step over raw/unfolded params with live BN statistics."""
+    import jax
+
+    from .yolo_loss import yolo_loss
+
+    forward_train = make_forward_train(plan, bn_update=bn_update)
 
     def loss_fn(params, stats, images, targets, tmask):
         raw_maps, new_stats = forward_train(params, stats, images)
