@@ -3,13 +3,22 @@
 Runs the FULL fused per-frame pipeline -- letterbox(1080p) -> YOLOv3-416
 backbone+decode (bf16) -> class-aware weighted-merge NMS -> ReID crop+embed
 -> DeepSORT association (Kalman, gated cascade, JV assignment) -- batched
-over S concurrent streams on one chip, entirely on-device (zero host
-round-trips inside the step).
+over S concurrent streams on one chip, entirely on-device (one int32
+readback per K*S-frame chunk selects the detection-capacity bucket).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is the fraction of the BASELINE.json north-star target of
-500 fps aggregate 1080p tracking per TPU v5e chip (the reference repo
-publishes no numbers of its own -- see BASELINE.md).
+Honest-load methodology (the pipeline has data-dependent trip counts --
+NMS early-exit, JV iteration count, tracker population): the detector's
+confidence threshold is CALIBRATED at startup so the random-weight model
+emits ~--target-dets detections per frame, and the warmup chunks run long
+enough to confirm that many tracks per stream. The JSON line reports the
+achieved load (dets_per_frame, tracks_active) next to the numbers.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} where
+value is aggregate throughput; p50_ms/p99_ms are per-dispatch (= per-frame
+compute) latency for the K-chunk mode, and k1_p50_ms/k1_p99_ms for the
+low-latency single-frame (K=1) mode. vs_baseline is the fraction of the
+BASELINE.json north-star target of 500 fps aggregate 1080p tracking per TPU
+v5e chip (the reference repo publishes no numbers of its own -- BASELINE.md).
 """
 
 from __future__ import annotations
@@ -19,6 +28,10 @@ import json
 import time
 
 import numpy as np
+
+
+def percentile(xs, p):
+    return float(np.percentile(np.asarray(xs, np.float64), p))
 
 
 def main():
@@ -33,11 +46,22 @@ def main():
     p.add_argument("--scan", type=int, default=16,
                    help="frames scanned per device dispatch (1 = per-frame)")
     p.add_argument("--max-dets", type=int, default=64)
+    p.add_argument("--target-dets", type=int, default=32,
+                   help="calibrate conf_thres for ~this many detections per "
+                        "frame (0 = no calibration, raw conf 0.5 on noise)")
+    p.add_argument("--buckets", default="16,32,40,48",
+                   help="detection-capacity buckets for the post-NMS stages")
+    p.add_argument("--no-bucketing", action="store_true",
+                   help="run the monolithic worst-case-capacity step")
+    p.add_argument("--latency-steps", type=int, default=10,
+                   help="per-dispatch latency sample count (0 = skip)")
+    p.add_argument("--skip-k1-latency", action="store_true",
+                   help="skip the single-frame low-latency mode measurement")
     p.add_argument("--f32", action="store_true", help="disable bf16 compute")
     p.add_argument("--no-pallas-letterbox", action="store_true",
-                   help="disable the fused Pallas letterbox kernel (default "
-                        "on; falls back to XLA automatically if the kernel "
-                        "fails to compile)")
+                   help="disable the fused Pallas letterbox kernel (on by "
+                        "default; falls back to XLA automatically if the "
+                        "kernel fails to compile)")
     args = p.parse_args()
 
     # persistent compilation cache: the fused-step compile through the axon
@@ -57,87 +81,226 @@ def main():
     from yolo_deepsort_tpu.cfg.architectures import ARCHITECTURES
     from yolo_deepsort_tpu.config import DetectorConfig, TrackerConfig
     from yolo_deepsort_tpu.models import weights as W
-    from yolo_deepsort_tpu.models.darknet import build_network
+    from yolo_deepsort_tpu.models.darknet import build_network, network_apply
     from yolo_deepsort_tpu.models.reid import random_reid_params
+    from yolo_deepsort_tpu.ops.letterbox import letterbox
+    from yolo_deepsort_tpu.ops.pallas_letterbox import pallas_letterbox_batch
     from yolo_deepsort_tpu.parallel.streams import (
         init_stream_states,
         make_batched_step,
         make_scanned_step,
+        make_scanned_step_bucketed,
     )
+    from yolo_deepsort_tpu.tracking.tracker import STATE_CONFIRMED
 
     plan = build_network(ARCHITECTURES[args.model](img_size=args.img_size))
-    det_params = W.fold_inference_params(
-        W.random_raw_params(plan.defs(), seed=0), plan.defs()
-    )
     reid_params = random_reid_params(seed=0)
-    det_cfg = DetectorConfig(img_size=args.img_size, conf_thres=0.5, nms_thres=0.4)
     trk_cfg = TrackerConfig(max_dets=args.max_dets)
-
     compute_dtype = jnp.float32 if args.f32 else jnp.bfloat16
     k = max(args.scan, 1)
-
-    def build(use_pallas):
-        if k > 1:
-            return make_scanned_step(
-                plan, det_cfg, trk_cfg, (args.frame_h, args.frame_w), k,
-                compute_dtype=compute_dtype, use_pallas_letterbox=use_pallas,
-            )
-        return make_batched_step(
-            plan, det_cfg, trk_cfg, (args.frame_h, args.frame_w),
-            compute_dtype=compute_dtype, use_pallas_letterbox=use_pallas,
-        )
-
-    use_pallas = not args.no_pallas_letterbox
-    step = build(use_pallas)
-
     s = args.streams
+    use_pallas = not args.no_pallas_letterbox
+
     rng = np.random.default_rng(0)
-    shape = (k, s) if k > 1 else (s,)
-    frames = jnp.asarray(
-        rng.integers(
-            0, 256, (*shape, args.frame_h, args.frame_w, 3), dtype=np.uint8
+    if args.target_dets > 0:
+        # temporally-STATIC frames per stream: detections repeat each frame,
+        # so tracks confirm and the association stage runs at a full, stable
+        # matched population (noise that differs per frame gives detections
+        # with no temporal coherence -- nothing ever matches and the tracker
+        # loops run empty)
+        base = rng.integers(
+            0, 256, (s, args.frame_h, args.frame_w, 3), dtype=np.uint8
         )
-    )
-    states = init_stream_states(trk_cfg, s)
+        frames = jnp.asarray(
+            np.broadcast_to(base[None], (k, *base.shape)).copy()
+        )
+    else:
+        frames = jnp.asarray(
+            rng.integers(
+                0, 256, (k, s, args.frame_h, args.frame_w, 3), dtype=np.uint8
+            )
+        )
+
+    raw = W.random_raw_params(plan.defs(), seed=0)
+    if args.target_dets > 0:
+        # Raw random weights explode through the unnormalized residual stack
+        # (obj saturates at 1.0, exp(w) overflows -> NaN boxes: the tracker
+        # then sees nothing and every data-dependent loop runs empty). Make
+        # the weights BN-CONSISTENT like a trained net's: one train-mode
+        # forward on the bench input captures each layer's true batch
+        # statistics, which become the stored BN stats.
+        from yolo_deepsort_tpu.train.yolo_cli import (
+            make_forward_train,
+            raw_params_to_train,
+            train_params_to_raw,
+        )
+
+        t_params, t_stats = raw_params_to_train(raw, plan.defs())
+        capture = jax.jit(
+            lambda p, st, x: make_forward_train(plan, bn_update=1.0)(p, st, x)[1]
+        )
+        sample = frames[0]  # (S, H, W, 3)
+        xs = jax.vmap(lambda f: letterbox(f, args.img_size))(sample)
+        new_stats = jax.device_get(capture(t_params, t_stats, xs))
+        raw = train_params_to_raw(t_params, {**t_stats, **new_stats},
+                                  plan.defs())
+    det_params = W.fold_inference_params(raw, plan.defs())
+
     det_params = jax.tree_util.tree_map(jnp.asarray, det_params)
     reid_params = jax.tree_util.tree_map(jnp.asarray, reid_params)
 
+    # ---- load calibration: per-STREAM conf thresholds so every stream
+    # carries ~target_dets detections (equal counts keep the chunk-max --
+    # and so the selected capacity bucket -- tight around the target)
+    conf_thres = 0.5
+    conf_vec = None
+    if args.target_dets > 0:
+        kth = max(1, min(int(args.target_dets), args.max_dets))
+
+        @jax.jit
+        def obj_quantile(det_params, flat):
+            if use_pallas:
+                xs = pallas_letterbox_batch(flat, args.img_size)
+            else:
+                xs = jax.vmap(lambda f: letterbox(f, args.img_size))(flat)
+            decoded = network_apply(
+                plan, det_params, xs, compute_dtype=compute_dtype
+            )
+            obj = decoded[..., 4]  # (S, B)
+            top = jax.lax.top_k(obj, kth)[0]
+            return top[:, kth - 1]  # per-stream k-th largest
+
+        conf_vec = np.asarray(obj_quantile(det_params, frames[0]), np.float32)
+        conf_thres = float(conf_vec.mean())
+
+    det_cfg = DetectorConfig(
+        img_size=args.img_size, conf_thres=conf_thres, nms_thres=0.4,
+        max_dets=args.max_dets,
+    )
+
+    # ---- build the step
+    buckets = tuple(int(b) for b in args.buckets.split(",") if b)
+
+    def build(use_pallas_lb):
+        if k > 1 and not args.no_bucketing:
+            return make_scanned_step_bucketed(
+                plan, det_cfg, trk_cfg, (args.frame_h, args.frame_w),
+                buckets=buckets, compute_dtype=compute_dtype,
+                use_pallas_letterbox=use_pallas_lb,
+                conf_thres_per_stream=conf_vec,
+            )
+        if k > 1:
+            return make_scanned_step(
+                plan, det_cfg, trk_cfg, (args.frame_h, args.frame_w), k,
+                compute_dtype=compute_dtype, use_pallas_letterbox=use_pallas_lb,
+            )
+        return make_batched_step(
+            plan, det_cfg, trk_cfg, (args.frame_h, args.frame_w),
+            compute_dtype=compute_dtype, use_pallas_letterbox=use_pallas_lb,
+        )
+
+    step = build(use_pallas)
+    states = init_stream_states(trk_cfg, s)
+    if k == 1:
+        frames = frames[0]
+
+    def run_chunk(st):
+        return step(det_params, reid_params, st, frames)
+
     try:
         for _ in range(args.warmup):
-            states, (outputs, emit) = step(
-                det_params, reid_params, states, frames
-            )
+            states, (outputs, emit) = run_chunk(states)
         jax.block_until_ready(outputs)
     except Exception:
         if not use_pallas:
             raise
         # Pallas kernel failed on this backend/geometry: fall back to XLA
+        use_pallas = False
         step = build(False)
         states = init_stream_states(trk_cfg, s)
         for _ in range(args.warmup):
-            states, (outputs, emit) = step(
-                det_params, reid_params, states, frames
-            )
+            states, (outputs, emit) = run_chunk(states)
         jax.block_until_ready(outputs)
 
+    # ---- achieved load, measured after warmup (confirmation takes n_init
+    # frames; warmup covers k*warmup >= 3 frames per stream)
+    dets_per_frame = None
+    if hasattr(step, "_detect"):
+        _, mask, _ = step._detect(det_params, frames)
+        dets_per_frame = float(jnp.mean(jnp.sum(mask, axis=-1)))
+    tracks_active = float(
+        jnp.mean(jnp.sum(states.state == STATE_CONFIRMED, axis=-1))
+    )
+
+    # ---- throughput (chained state; one final readback closes the loop).
+    # Bucketed mode pipelines with one chunk of detect lookahead so the
+    # bucket-selection readback never idles the chip.
+    pipelined = hasattr(step, "detect")
     t0 = time.perf_counter()
-    for _ in range(args.steps):
-        states, (outputs, emit) = step(det_params, reid_params, states, frames)
+    if pipelined:
+        nxt = step.detect(det_params, frames)
+        for _ in range(args.steps):
+            cur = nxt
+            nxt = step.detect(det_params, frames)
+            states, (outputs, emit) = step.track(reid_params, states, cur)
+    else:
+        for _ in range(args.steps):
+            states, (outputs, emit) = run_chunk(states)
     jax.block_until_ready(outputs)
     dt = time.perf_counter() - t0
-
     fps = s * k * args.steps / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"aggregate 1080p {args.model}-{args.img_size}"
-                          " detect+track fps/chip",
-                "value": round(fps, 2),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / 500.0, 4),
-            }
+
+    # ---- per-dispatch latency (chained state, per-step sync)
+    p50 = p99 = None
+    if args.latency_steps > 0:
+        lat = []
+        for _ in range(args.latency_steps):
+            t1 = time.perf_counter()
+            states, (outputs, emit) = run_chunk(states)
+            jax.block_until_ready(outputs)
+            lat.append((time.perf_counter() - t1) * 1e3)
+        p50, p99 = percentile(lat, 50), percentile(lat, 99)
+
+    # ---- low-latency K=1 mode: single-frame dispatch latency
+    k1_p50 = k1_p99 = None
+    if not args.skip_k1_latency and k > 1 and args.latency_steps > 0:
+        step1 = make_batched_step(
+            plan, det_cfg, trk_cfg, (args.frame_h, args.frame_w),
+            compute_dtype=compute_dtype, use_pallas_letterbox=use_pallas,
         )
-    )
+        st1 = init_stream_states(trk_cfg, s)
+        f1 = frames[0]
+        for _ in range(max(args.warmup * k, 5)):  # confirm tracks again
+            st1, (o1, e1) = step1(det_params, reid_params, st1, f1)
+        jax.block_until_ready(o1)
+        lat1 = []
+        for _ in range(args.latency_steps):
+            t1 = time.perf_counter()
+            st1, (o1, e1) = step1(det_params, reid_params, st1, f1)
+            jax.block_until_ready(o1)
+            lat1.append((time.perf_counter() - t1) * 1e3)
+        k1_p50, k1_p99 = percentile(lat1, 50), percentile(lat1, 99)
+
+    rec = {
+        "metric": f"aggregate 1080p {args.model}-{args.img_size}"
+                  " detect+track fps/chip",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / 500.0, 4),
+        "tracks_active": round(tracks_active, 1),
+        "conf_thres": round(conf_thres, 4),
+        "capacity_bucket": getattr(step, "last_bucket", args.max_dets),
+    }
+    if dets_per_frame is not None:
+        rec["dets_per_frame"] = round(dets_per_frame, 1)
+    if p50 is not None:
+        rec["p50_ms"] = round(p50, 2)
+        rec["p99_ms"] = round(p99, 2)
+        rec["chunk_frames"] = k * s
+    if k1_p50 is not None:
+        rec["k1_p50_ms"] = round(k1_p50, 2)
+        rec["k1_p99_ms"] = round(k1_p99, 2)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

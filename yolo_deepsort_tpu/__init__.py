@@ -11,14 +11,15 @@ Public API (mirrors the reference's surface, SURVEY.md section 0):
   - ImageDetector / VideoDetector -- detection wrappers
   - VideoTracker                  -- detection + tracking over video
   - DeepSort                      -- tracker facade: update(xywh, conf, img)
+  - Extractor                     -- standalone ReID feature extractor
 """
 
 __version__ = "0.1.0"
 
 
 def __getattr__(name):  # lazy: keep `import yolo_deepsort_tpu` light
-    if name in ("DeepSort", "Darknet", "ImageDetector", "VideoDetector",
-                "VideoTracker"):
+    if name in ("DeepSort", "Darknet", "Extractor", "ImageDetector",
+                "VideoDetector", "VideoTracker"):
         from . import api
 
         return getattr(api, name)
