@@ -49,7 +49,7 @@ def main():
     p.add_argument("--target-dets", type=int, default=32,
                    help="calibrate conf_thres for ~this many detections per "
                         "frame (0 = no calibration, raw conf 0.5 on noise)")
-    p.add_argument("--buckets", default="16,32,40,48",
+    p.add_argument("--buckets", default="16,24,32,36,40,48",
                    help="detection-capacity buckets for the post-NMS stages")
     p.add_argument("--no-bucketing", action="store_true",
                    help="run the monolithic worst-case-capacity step")

@@ -1,0 +1,308 @@
+"""One-off perf probes for ROADMAP experiments, honest-load conditions.
+
+  --probe reid-layout   : ReID embed NHWC (production) vs NCHW A/B at the
+                          chunked batch size (K*S*cap crops)
+  --probe nms-share     : detect stage vs letterbox+backbone only -- NMS's
+                          share of the detect dispatch
+  --probe counts        : per-stream detection counts + chunk max (bucket
+                          pressure) under the calibrated load
+
+Chained-state timing discipline throughout (see DESIGN.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _setup():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/root/repo/.jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def bn_weights_and_frames(model, img_size, k, s, hw, target):
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_deepsort_tpu.cfg.architectures import ARCHITECTURES
+    from yolo_deepsort_tpu.models import weights as W
+    from yolo_deepsort_tpu.models.darknet import build_network, network_apply
+    from yolo_deepsort_tpu.ops.letterbox import letterbox
+    from yolo_deepsort_tpu.train.yolo_cli import (
+        make_forward_train,
+        raw_params_to_train,
+        train_params_to_raw,
+    )
+
+    plan = build_network(ARCHITECTURES[model](img_size=img_size))
+    raw = W.random_raw_params(plan.defs(), seed=0)
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, (s, *hw, 3), dtype=np.uint8)
+    frames = jnp.asarray(np.broadcast_to(base[None], (k, s, *hw, 3)).copy())
+    t_params, t_stats = raw_params_to_train(raw, plan.defs())
+    capture = jax.jit(
+        lambda p, st, x: make_forward_train(plan, bn_update=1.0)(p, st, x)[1]
+    )
+    xs = jax.vmap(lambda f: letterbox(f, img_size))(frames[0])
+    new_stats = jax.device_get(capture(t_params, t_stats, xs))
+    raw = train_params_to_raw(t_params, {**t_stats, **new_stats}, plan.defs())
+    det_params = jax.tree_util.tree_map(
+        jnp.asarray, W.fold_inference_params(raw, plan.defs()))
+
+    @jax.jit
+    def obj_quantile(dp, flat):
+        x = jax.vmap(lambda f: letterbox(f, img_size))(flat)
+        d = network_apply(plan, dp, x, compute_dtype=jnp.bfloat16)
+        top = jax.lax.top_k(d[..., 4], target)[0]
+        return top[:, target - 1]
+
+    conf_vec = np.asarray(obj_quantile(det_params, frames[0]), np.float32)
+    return plan, det_params, frames, conf_vec
+
+
+def main():
+    _setup()
+    p = argparse.ArgumentParser()
+    p.add_argument("--probe", required=True,
+                   choices=["reid-layout", "nms-share", "counts", "stem"])
+    p.add_argument("--model", default="yolov3")
+    p.add_argument("--img-size", type=int, default=416)
+    p.add_argument("--scan", type=int, default=16)
+    p.add_argument("--streams", type=int, default=8)
+    p.add_argument("--cap", type=int, default=40)
+    p.add_argument("--steps", type=int, default=8)
+    p.add_argument("--target-dets", type=int, default=32)
+    args = p.parse_args()
+
+    import jax
+    import jax.lax as lax
+    import jax.numpy as jnp
+
+    k, s, hw = args.scan, args.streams, (1080, 1920)
+    out = {"probe": args.probe}
+
+    if args.probe == "reid-layout":
+        from yolo_deepsort_tpu.models.reid import random_reid_params, reid_apply
+
+        params = jax.tree_util.tree_map(jnp.asarray, random_reid_params(0))
+        n = k * s * args.cap
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(0, 1, (n, 128, 64, 3)).astype(np.float32))
+
+        @jax.jit
+        def nhwc(p, x, bump):
+            f = reid_apply(p, x + bump, compute_dtype=jnp.bfloat16)
+            return f, jnp.isnan(jnp.sum(f)).astype(jnp.float32)
+
+        # NCHW variant: same math, channels-first conv layout
+        def conv_nchw(x, pw, pb, stride, pad):
+            o = lax.conv_general_dilated(
+                x.astype(jnp.bfloat16),
+                jnp.asarray(pw, jnp.bfloat16).transpose(3, 2, 0, 1),
+                (stride, stride), [(pad, pad), (pad, pad)],
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                preferred_element_type=jnp.float32,
+            )
+            return o + jnp.asarray(pb, jnp.float32)[None, :, None, None]
+
+        def reid_nchw(p, x):
+            o = conv_nchw(x, p["stem"]["w"], p["stem"]["b"], 1, 1)
+            o = jnp.maximum(o, 0).astype(jnp.bfloat16)
+            o = lax.reduce_window(o, -jnp.inf, lax.max, (1, 1, 3, 3),
+                                  (1, 1, 2, 2),
+                                  [(0, 0), (0, 0), (1, 1), (1, 1)])
+            for blocks in p["layers"]:
+                for b in blocks:
+                    stride = 1
+                    if b["down"] is not None:
+                        ci, co = b["conv1"]["w"].shape[2], b["conv1"]["w"].shape[3]
+                        stride = 2 if ci != co else 1
+                    y = conv_nchw(o, b["conv1"]["w"], b["conv1"]["b"], stride, 1)
+                    y = jnp.maximum(y, 0).astype(jnp.bfloat16)
+                    y = conv_nchw(y, b["conv2"]["w"], b["conv2"]["b"], 1, 1)
+                    sc = (conv_nchw(o, b["down"]["w"], b["down"]["b"], stride, 0)
+                          if b["down"] is not None else o.astype(jnp.float32))
+                    o = jnp.maximum(y + sc, 0).astype(jnp.bfloat16)
+            feat = jnp.mean(o.astype(jnp.float32), axis=(2, 3))
+            return feat / jnp.maximum(
+                jnp.linalg.norm(feat, axis=1, keepdims=True), 1e-12)
+
+        @jax.jit
+        def nchw(p, x, bump):
+            f = reid_nchw(p, jnp.transpose(x + bump, (0, 3, 1, 2)))
+            return f, jnp.isnan(jnp.sum(f)).astype(jnp.float32)
+
+        for name, fn in (("nhwc", nhwc), ("nchw", nchw)):
+            bump = jnp.float32(0)
+            f, bump = fn(params, x, bump)
+            float(bump)  # host readback closes the chain (axon quirk)
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                f, bump = fn(params, x, bump)
+            float(bump)
+            out[f"{name}_ms"] = round(
+                (time.perf_counter() - t0) / args.steps * 1e3, 1)
+        # sanity: same features
+        fa = np.asarray(nhwc(params, x, jnp.float32(0))[0])
+        fb = np.asarray(nchw(params, x, jnp.float32(0))[0])
+        out["max_feat_diff"] = float(np.abs(fa - fb).max())
+
+    elif args.probe == "stem":
+        # Space-to-depth A/B for the yolov3 stem (ROADMAP exp. 2 / round-1
+        # VERDICT next-step 3): conv0 (3x3 s1 3->32) + leaky + conv1
+        # (3x3 s2 32->64) + leaky, naive at 416^2 x C=3 (the MXU pads the
+        # 27-deep contraction) vs an EXACT block-space rewrite on
+        # s2d(2) input (208^2 x 12, contractions 108/128-deep).
+        rng = np.random.default_rng(0)
+        n = k * s
+        x = jnp.asarray(rng.normal(0, 1, (n, 416, 416, 3)).astype(np.float32))
+        w0 = rng.normal(0, 0.1, (3, 3, 3, 32)).astype(np.float32)
+        b0 = rng.normal(0, 0.1, 32).astype(np.float32)
+        w1 = rng.normal(0, 0.05, (3, 3, 32, 64)).astype(np.float32)
+        b1 = rng.normal(0, 0.1, 64).astype(np.float32)
+
+        def leaky(v):
+            return jnp.where(v > 0, v, 0.1 * v)
+
+        def conv(v, w, stride, pad):
+            return lax.conv_general_dilated(
+                v.astype(jnp.bfloat16), jnp.asarray(w, jnp.bfloat16),
+                (stride, stride), [(pad, pad), (pad, pad)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+
+        @jax.jit
+        def naive(x, bump):
+            y = leaky(conv(x + bump, w0, 1, 1) + b0)
+            z = leaky(conv(y, w1, 2, 1) + b1)
+            return z, jnp.sum(z[0, 0, 0])
+
+        # exact block-space weights
+        w0p = np.zeros((3, 3, 12, 128), np.float32)
+        b0p = np.zeros(128, np.float32)
+        for a in range(2):
+            for b in range(2):
+                b0p[(a * 2 + b) * 32:(a * 2 + b) * 32 + 32] = b0
+                for dp in range(3):
+                    for dq in range(3):
+                        di = (a + dp - 1) // 2 + 1
+                        dj = (b + dq - 1) // 2 + 1
+                        pa = (a + dp - 1) % 2
+                        pb = (b + dq - 1) % 2
+                        for c in range(3):
+                            w0p[di, dj, (pa * 2 + pb) * 3 + c,
+                                (a * 2 + b) * 32:(a * 2 + b) * 32 + 32] += \
+                                w0[dp, dq, c]
+        w1p = np.zeros((2, 2, 128, 64), np.float32)
+        for dp in range(3):
+            for dq in range(3):
+                di = (dp - 1) // 2 + 1
+                dj = (dq - 1) // 2 + 1
+                pa = (dp - 1) % 2
+                pb = (dq - 1) % 2
+                for c in range(32):
+                    w1p[di, dj, (pa * 2 + pb) * 32 + c] += w1[dp, dq, c]
+
+        @jax.jit
+        def s2d(x, bump):
+            xb = (x + bump).reshape(n, 208, 2, 208, 2, 3).transpose(
+                0, 1, 3, 2, 4, 5).reshape(n, 208, 208, 12)
+            yb = leaky(conv(xb, w0p, 1, 1) + b0p)
+            z = leaky(lax.conv_general_dilated(
+                yb.astype(jnp.bfloat16), jnp.asarray(w1p, jnp.bfloat16),
+                (1, 1), [(1, 0), (1, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            ) + b1)
+            return z, jnp.sum(z[0, 0, 0])
+
+        za, _ = naive(x, jnp.float32(0))
+        zb, _ = s2d(x, jnp.float32(0))
+        out["max_diff"] = float(jnp.max(jnp.abs(za - zb)))
+        out["out_rms"] = float(jnp.sqrt(jnp.mean(za * za)))
+        for name, fn in (("naive", naive), ("s2d", s2d)):
+            bump = jnp.float32(0)
+            z, rb = fn(x, bump)
+            bump = rb * 1e-30
+            float(rb)
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                z, rb = fn(x, bump)
+                bump = rb * 1e-30
+            float(rb)
+            out[f"{name}_ms"] = round(
+                (time.perf_counter() - t0) / args.steps * 1e3, 1)
+
+    else:
+        from yolo_deepsort_tpu.config import DetectorConfig, TrackerConfig
+        from yolo_deepsort_tpu.models.darknet import network_apply
+        from yolo_deepsort_tpu.ops.pallas_letterbox import pallas_letterbox_batch
+        from yolo_deepsort_tpu.parallel.streams import make_scanned_detect_stage
+
+        plan, det_params, frames, conf_vec = bn_weights_and_frames(
+            args.model, args.img_size, k, s, hw, args.target_dets)
+        det_cfg = DetectorConfig(img_size=args.img_size,
+                                 conf_thres=float(conf_vec.mean()))
+        trk_cfg = TrackerConfig(max_dets=64)
+        detect = make_scanned_detect_stage(
+            plan, det_cfg, trk_cfg, hw, compute_dtype=jnp.bfloat16,
+            use_pallas_letterbox=True, conf_thres_per_stream=conf_vec)
+
+        if args.probe == "counts":
+            b7, m, mc = detect(det_params, frames)
+            counts = np.asarray(jnp.sum(m, axis=-1)).reshape(k, s)
+            out["per_stream_counts"] = counts[0].tolist()
+            out["chunk_max"] = int(mc)
+            out["mean"] = round(float(counts.mean()), 1)
+        else:  # nms-share
+            size = args.img_size
+
+            @jax.jit
+            def backbone_only(dp, fr, bump):
+                flat = fr.reshape(k * s, *hw, 3)
+                xs = pallas_letterbox_batch(flat, size)
+                d = network_apply(plan, dp, xs + bump,
+                                  compute_dtype=jnp.bfloat16)
+                return d, jnp.isnan(jnp.sum(d)).astype(jnp.float32)
+
+            bump = jnp.float32(0)
+            d, bump = backbone_only(det_params, frames, bump)
+            float(bump)
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                d, bump = backbone_only(det_params, frames, bump)
+            float(bump)
+            out["letterbox_backbone_ms"] = round(
+                (time.perf_counter() - t0) / args.steps * 1e3, 1)
+
+            @jax.jit
+            def full_detect(dp, fr):
+                return detect(dp, fr)
+
+            b7, m, mc = full_detect(det_params, frames)
+            int(mc)
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                b7, m, mc = full_detect(det_params, frames)
+            int(mc)
+            out["detect_ms"] = round(
+                (time.perf_counter() - t0) / args.steps * 1e3, 1)
+            out["nms_share_ms"] = round(
+                out["detect_ms"] - out["letterbox_backbone_ms"], 1)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -113,7 +113,7 @@ class ListDataset:
 
         boxes = np.zeros((0, 5), np.float64)
         label_path = self.label_files[index % len(self)]
-        if os.path.exists(label_path):
+        if os.path.exists(label_path) and os.path.getsize(label_path):
             raw = np.loadtxt(label_path, ndmin=2)
             if raw.size:
                 boxes = raw.reshape(-1, 5).astype(np.float64)
