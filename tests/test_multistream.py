@@ -53,3 +53,46 @@ def test_multistream_runs_and_isolates(tmp_path):
     assert steps >= 6  # at least as many steps as the longest clip
     assert saw_partial  # stream 2 ended early; isolation path exercised
     mst.close()
+
+
+def test_multistream_global_ids(tmp_path):
+    """global_ids=True: emitted rows carry nonzero GLOBAL ids from the
+    cross-camera aliasing table (unique across live tracks)."""
+    from yolo_deepsort_tpu.runtime.multistream import MultiStreamTracker
+
+    h, w = 64, 96
+    p1, p2 = tmp_path / "a.mp4", tmp_path / "b.mp4"
+    _write_clip(p1, 6, h, w, 60)
+    _write_clip(p2, 6, h, w, 60)
+
+    model = Darknet("yolov3-tiny", img_size=96)
+    mst = MultiStreamTracker(
+        model,
+        [str(p1), str(p2)],
+        random_reid_params(0),
+        (h, w),
+        tracker_config=TrackerConfig(max_tracks=8, max_dets=4, nn_budget=4),
+        det_config=DetectorConfig(img_size=96, conf_thres=0.4),
+        half=False,
+        ring_depth=4,
+        global_ids=True,
+        global_id_every=2,
+    )
+    any_emit = False
+    for outputs, emit, valid in mst.run(max_steps=12):
+        for s in range(2):
+            ids = outputs[s][emit[s]][:, 4]
+            if len(ids):
+                any_emit = True
+                assert (ids > 0).all(), ids  # provisional gids, never 0
+    gid = np.asarray(mst.gid_state.gid)
+    trk = np.asarray(mst.states.state)
+    live = gid[trk > 0]
+    assert (live > 0).all()
+    # the two clips are IDENTICAL content, so cross-camera aliasing of the
+    # matching tracks is the designed outcome: fewer unique global ids than
+    # live tracks (per-stream local ids would be 1:1). Distinct-appearance
+    # non-aliasing is covered by test_global_id_no_false_aliasing.
+    if live.size > 1:
+        assert len(set(live.tolist())) < len(live)
+    mst.close()

@@ -74,7 +74,8 @@ def main():
     _setup()
     p = argparse.ArgumentParser()
     p.add_argument("--probe", required=True,
-                   choices=["reid-layout", "nms-share", "counts", "stem"])
+                   choices=["reid-layout", "nms-share", "counts", "stem",
+                            "track-split"])
     p.add_argument("--model", default="yolov3")
     p.add_argument("--img-size", type=int, default=416)
     p.add_argument("--scan", type=int, default=16)
@@ -259,7 +260,79 @@ def main():
             plan, det_cfg, trk_cfg, hw, compute_dtype=jnp.bfloat16,
             use_pallas_letterbox=True, conf_thres_per_stream=conf_vec)
 
-        if args.probe == "counts":
+        if args.probe == "track-split":
+            # attribute the track stage: crops alone, crops+embed, full
+            from yolo_deepsort_tpu.models.reid import (
+                random_reid_params, reid_apply)
+            from yolo_deepsort_tpu.ops.crops import crop_and_normalize
+            from yolo_deepsort_tpu.ops.letterbox import rescale_boxes
+            from yolo_deepsort_tpu.parallel.streams import (
+                init_stream_states, make_scanned_track_stage)
+
+            reid_params = jax.tree_util.tree_map(
+                jnp.asarray, random_reid_params(0))
+            b7, m, mc = detect(det_params, frames)
+            cap = args.cap
+            h, w = hw
+
+            def crops_of(fr, b7c):
+                flat = fr.reshape(k * s, *hw, 3)
+                xyxy = jax.vmap(
+                    lambda b: rescale_boxes(b[:, :4], args.img_size, h, w)
+                )(b7c[:, :cap])
+                x1 = jnp.clip(xyxy[..., 0], 0, w - 1)
+                y1 = jnp.clip(xyxy[..., 1], 0, h - 1)
+                x2 = jnp.clip(xyxy[..., 2], 0, w - 1)
+                y2 = jnp.clip(xyxy[..., 3], 0, h - 1)
+                return jax.vmap(
+                    lambda f, bb: crop_and_normalize(
+                        f, bb, compute_dtype=jnp.bfloat16)
+                )(flat, jnp.stack([x1, y1, x2, y2], axis=-1))
+
+            @jax.jit
+            def crops_only(fr, b7c, bump):
+                c = crops_of(fr, b7c + bump)
+                return jnp.sum(c[0, 0, 0, 0])
+
+            @jax.jit
+            def crops_embed(fr, b7c, bump):
+                c = crops_of(fr, b7c + bump)
+                f = reid_apply(
+                    reid_params, c.reshape(k * s * cap, *c.shape[2:]),
+                    compute_dtype=jnp.bfloat16)
+                return jnp.sum(f[0])
+
+            for name, fn in (("crops", crops_only),
+                             ("crops_embed", crops_embed)):
+                bump = jnp.float32(0)
+                rb = fn(frames, b7, bump)
+                float(rb)
+                t0 = time.perf_counter()
+                for _ in range(args.steps):
+                    rb = fn(frames, b7, bump)
+                    bump = rb * 1e-30
+                float(rb)
+                out[f"{name}_ms"] = round(
+                    (time.perf_counter() - t0) / args.steps * 1e3, 1)
+
+            track = make_scanned_track_stage(
+                det_cfg, trk_cfg, hw, cap, compute_dtype=jnp.bfloat16,
+                donate_state=False)
+            states = init_stream_states(trk_cfg, s)
+            for _ in range(3):
+                states, (outs, emit) = track(reid_params, states, frames,
+                                             b7, m)
+            float(jnp.sum(outs[0, 0, 0]))
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                states, (outs, emit) = track(reid_params, states, frames,
+                                             b7, m)
+            float(jnp.sum(outs[0, 0, 0]))
+            out["track_full_ms"] = round(
+                (time.perf_counter() - t0) / args.steps * 1e3, 1)
+            out["cap"] = cap
+
+        elif args.probe == "counts":
             b7, m, mc = detect(det_params, frames)
             counts = np.asarray(jnp.sum(m, axis=-1)).reshape(k, s)
             out["per_stream_counts"] = counts[0].tolist()

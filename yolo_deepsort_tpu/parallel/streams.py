@@ -525,6 +525,29 @@ def relabel_outputs_global(outputs: jnp.ndarray, gids: GlobalIDState):
     )
 
 
+@partial(jax.jit, static_argnames=("n_streams_total", "stream_offset"))
+def assign_provisional_gids(
+    track_id: jnp.ndarray,  # (S_loc, T) local track ids
+    gids: GlobalIDState,
+    n_streams_total: int,
+    stream_offset: int = 0,
+) -> GlobalIDState:
+    """Local (collective-free) half of the global-ID protocol: fresh or
+    recycled lanes get their provisional unique gid immediately, so emitted
+    rows never show gid 0 between collective handoff rounds."""
+    s_loc, t = track_id.shape
+    stream_idx = stream_offset + jnp.arange(s_loc, dtype=jnp.int32)
+    prov = jnp.where(
+        track_id > 0,
+        (track_id - 1) * n_streams_total + stream_idx[:, None] + 1,
+        0,
+    )
+    fresh = (track_id != gids.owner) | (gids.gid == 0)
+    return GlobalIDState(
+        gid=jnp.where(fresh, prov, gids.gid), owner=track_id
+    )
+
+
 def make_global_id_step(
     mesh: Mesh,
     trk_cfg: TrackerConfig,

@@ -34,6 +34,8 @@ class MultiStreamTracker:
         tracked_class_ids=None,
         half: bool = True,
         ring_depth: int = 8,
+        global_ids: bool = False,
+        global_id_every: int = 4,
     ):
         import jax.numpy as jnp
 
@@ -57,6 +59,27 @@ class MultiStreamTracker:
         )
         self.states = init_stream_states(self.trk_cfg, self.s)
         self._threads: List[threading.Thread] = []
+        # cross-CAMERA global identities (BASELINE config 5): periodically
+        # alias tracks whose appearance matches across streams so one object
+        # seen by several cameras reports one id (min-adoption, convergent)
+        self.gid_state = None
+        self._gid_every = max(1, global_id_every)
+        if global_ids:
+            from ..parallel.streams import (
+                assign_provisional_gids,
+                init_global_ids,
+                make_global_id_step,
+                make_stream_mesh,
+                relabel_outputs_global,
+            )
+
+            mesh = make_stream_mesh(1)  # single-chip: streams co-resident
+            self._gid_step = make_global_id_step(
+                mesh, self.trk_cfg, n_streams_total=self.s
+            )
+            self._gid_prov = assign_provisional_gids
+            self._relabel = relabel_outputs_global
+            self.gid_state = init_global_ids(self.trk_cfg, self.s)
 
     def _decoder(self, stream: int, path: str):
         import cv2
@@ -99,6 +122,17 @@ class MultiStreamTracker:
                     self.model.params, self.reid_params, self.states,
                     batch, valid,
                 )
+                if self.gid_state is not None:
+                    if steps % self._gid_every == 0:
+                        self.gid_state = self._gid_step(
+                            self.states, self.gid_state
+                        )
+                    else:  # fresh lanes still get ids between rounds
+                        self.gid_state = self._gid_prov(
+                            self.states.track_id, self.gid_state,
+                            n_streams_total=self.s,
+                        )
+                    outputs = self._relabel(outputs, self.gid_state)
                 steps += 1
                 yield np.asarray(outputs), np.asarray(emit), valid
         finally:
