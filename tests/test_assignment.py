@@ -101,3 +101,46 @@ def test_large_masked_matrix_matches_scipy():
     expected = {int(ridx[r_]): int(cidx[c_]) for r_, c_ in expected_sub.items()}
     got = run_case(cost, maxd, row_mask, col_mask)
     assert got == expected
+
+
+def test_pallas_solver_matches_lax(monkeypatch):
+    """The Pallas JV kernel (interpret mode on CPU) is EXACTLY the lax
+    solver, unbatched and vmapped, across random masked cascades. On-chip
+    exactness was verified on the TPU (tools/bench_probes.py --probe
+    jv-scan with JV_IMPL=pallas; 12.5 vs 21.8 ms/chunk)."""
+    import jax
+
+    import yolo_deepsort_tpu.ops.assignment_pallas as ap
+    from yolo_deepsort_tpu.ops.assignment import _solve_cascade_lax
+
+    orig = ap._solve_batched
+    monkeypatch.setattr(
+        ap, "_solve_batched", lambda *a, **k: orig(*a, interpret=True)
+    )
+
+    rng = np.random.default_rng(0)
+    for trial in range(8):
+        r, c = 32, 12
+        cost = rng.uniform(0, 0.5, (r, c)).astype(np.float32)
+        levels = rng.integers(0, 4, r).astype(np.int32)
+        rm = rng.uniform(size=r) < 0.6
+        cm = rng.uniform(size=c) < 0.8
+        ref = np.asarray(_solve_cascade_lax(cost, levels, rm, cm, 0.25))
+        got = np.asarray(
+            ap.solve_cascade_assignment_pallas(cost, levels, rm, cm, 0.25)
+        )
+        np.testing.assert_array_equal(ref, got, err_msg=f"trial {trial}")
+
+    s = 4
+    cost = rng.uniform(0, 0.5, (s, 32, 12)).astype(np.float32)
+    levels = rng.integers(0, 4, (s, 32)).astype(np.int32)
+    rm = rng.uniform(size=(s, 32)) < 0.6
+    cm = rng.uniform(size=(s, 12)) < 0.8
+    ref = jax.vmap(
+        lambda a, b, c_, d_: _solve_cascade_lax(a, b, c_, d_, 0.25)
+    )(cost, levels, rm, cm)
+    got = jax.vmap(
+        lambda a, b, c_, d_: ap.solve_cascade_assignment_pallas(
+            a, b, c_, d_, 0.25)
+    )(cost, levels, rm, cm)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

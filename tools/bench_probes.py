@@ -75,7 +75,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--probe", required=True,
                    choices=["reid-layout", "nms-share", "counts", "stem",
-                            "track-split"])
+                            "track-split", "crops-impl", "jv-scan"])
     p.add_argument("--model", default="yolov3")
     p.add_argument("--img-size", type=int, default=416)
     p.add_argument("--scan", type=int, default=16)
@@ -157,6 +157,54 @@ def main():
         fa = np.asarray(nhwc(params, x, jnp.float32(0))[0])
         fb = np.asarray(nchw(params, x, jnp.float32(0))[0])
         out["max_feat_diff"] = float(np.abs(fa - fb).max())
+
+    elif args.probe == "jv-scan":
+        # isolate the association solver at tracker cadence: K sequential
+        # (scanned) JV cascade solves, vmapped over S streams, ~30 active
+        # rows x cap columns -- how much of the 45 ms/chunk tracker scan is
+        # the nested while_loop solver?
+        from yolo_deepsort_tpu.ops.assignment import solve_cascade_assignment
+        from yolo_deepsort_tpu.ops.assignment_pallas import (
+            solve_cascade_assignment_pallas,
+        )
+
+        if os.environ.get("JV_IMPL") == "pallas":
+            solve_cascade_assignment = solve_cascade_assignment_pallas
+        rng = np.random.default_rng(0)
+        r_rows, cols, active = 128, args.cap, 30
+        cost = rng.uniform(0.0, 0.4, (s, r_rows, cols)).astype(np.float32)
+        row_mask = np.zeros((s, r_rows), bool)
+        row_mask[:, :active] = True
+        col_mask = np.zeros((s, cols), bool)
+        col_mask[:, :args.target_dets] = True
+        levels = rng.integers(0, 5, (s, r_rows)).astype(np.int32)
+
+        solve = jax.vmap(
+            lambda c, l, rm, cm: solve_cascade_assignment(c, l, rm, cm, 0.2)
+        )
+
+        @jax.jit
+        def scan_k(cost, levels, row_mask, col_mask, bump):
+            def body(carry, _):
+                out = solve(cost + carry, levels, row_mask, col_mask)
+                # chain: next iteration's costs depend on this solve
+                return carry + jnp.float32(1e-30) * jnp.sum(out), out
+
+            carry, outs = jax.lax.scan(
+                body, bump, None, length=k)
+            return outs, carry
+
+        bump = jnp.float32(0)
+        outs, bump = scan_k(cost, levels, row_mask, col_mask, bump)
+        float(bump)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            outs, bump = scan_k(cost, levels, row_mask, col_mask, bump)
+        float(bump)
+        out["jv_scan_ms_per_chunk"] = round(
+            (time.perf_counter() - t0) / args.steps * 1e3, 1)
+        out["rows_active"] = active
+        out["cols"] = cols
 
     elif args.probe == "stem":
         # Space-to-depth A/B for the yolov3 stem (ROADMAP exp. 2 / round-1
@@ -260,7 +308,52 @@ def main():
             plan, det_cfg, trk_cfg, hw, compute_dtype=jnp.bfloat16,
             use_pallas_letterbox=True, conf_thres_per_stream=conf_vec)
 
-        if args.probe == "track-split":
+        if args.probe == "crops-impl":
+            # matmul-X vs gather-X crop resampler at the honest chunk load
+            from yolo_deepsort_tpu.ops.crops import (
+                crop_and_normalize, crop_and_normalize_gather)
+            from yolo_deepsort_tpu.ops.letterbox import rescale_boxes
+
+            b7, m, mc = detect(det_params, frames)
+            cap = args.cap
+            h, w = hw
+
+            def boxes_of(b7c):
+                xyxy = jax.vmap(
+                    lambda b: rescale_boxes(b[:, :4], args.img_size, h, w)
+                )(b7c[:, :cap])
+                x1 = jnp.clip(xyxy[..., 0], 0, w - 1)
+                y1 = jnp.clip(xyxy[..., 1], 0, h - 1)
+                x2 = jnp.clip(xyxy[..., 2], 0, w - 1)
+                y2 = jnp.clip(xyxy[..., 3], 0, h - 1)
+                return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+            from yolo_deepsort_tpu.ops.crops import crop_and_normalize_rowgather
+
+            for name, impl in (("matmul", crop_and_normalize),
+                               ("gather", crop_and_normalize_gather),
+                               ("rowgather", crop_and_normalize_rowgather)):
+                @jax.jit
+                def run(fr, b7c, bump, impl=impl):
+                    flat = fr.reshape(k * s, *hw, 3)
+                    c = jax.vmap(
+                        lambda f, bb: impl(f, bb, compute_dtype=jnp.bfloat16)
+                    )(flat, boxes_of(b7c + bump))
+                    return jnp.sum(c[0, 0, 0, 0])
+
+                bump = jnp.float32(0)
+                rb = run(frames, b7, bump)
+                float(rb)
+                t0 = time.perf_counter()
+                for _ in range(args.steps):
+                    rb = run(frames, b7, bump)
+                    bump = rb * 1e-30
+                float(rb)
+                out[f"{name}_ms"] = round(
+                    (time.perf_counter() - t0) / args.steps * 1e3, 1)
+            out["cap"] = cap
+
+        elif args.probe == "track-split":
             # attribute the track stage: crops alone, crops+embed, full
             from yolo_deepsort_tpu.models.reid import (
                 random_reid_params, reid_apply)

