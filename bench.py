@@ -282,7 +282,7 @@ def main():
         k1_p50, k1_p99 = percentile(lat1, 50), percentile(lat1, 99)
 
     rec = {
-        "metric": f"aggregate 1080p {args.model}-{args.img_size}"
+        "metric": f"aggregate {args.frame_h}p {args.model}-{args.img_size}"
                   " detect+track fps/chip",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",

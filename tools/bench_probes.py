@@ -309,10 +309,67 @@ def main():
             use_pallas_letterbox=True, conf_thres_per_stream=conf_vec)
 
         if args.probe == "crops-impl":
-            # matmul-X vs gather-X crop resampler at the honest chunk load
+            # Crop-resampler A/Bs at the honest chunk load. Results so far
+            # (cap 36): matmul 90.0 / column-gather 91.4 (lane gathers slow)
+            # / row-gather OOM under full-chunk vmap -> retried with lax.map
+            # sub-batching below.
             from yolo_deepsort_tpu.ops.crops import (
-                crop_and_normalize, crop_and_normalize_gather)
+                CROP_H, CROP_W, REID_MEAN, REID_STD, _interp_matrix,
+                crop_and_normalize)
             from yolo_deepsort_tpu.ops.letterbox import rescale_boxes
+
+            def crop_gather_cols(frame, boxes, compute_dtype=jnp.bfloat16):
+                """Column-gather X + matmul Y (measured: no win)."""
+                img = jnp.asarray(frame)
+                h2, w2 = img.shape[0], img.shape[1]
+                dd = boxes.shape[0]
+                x1 = jnp.clip(boxes[:, 0].astype(jnp.int32), 0, w2 - 1)
+                y1 = jnp.clip(boxes[:, 1].astype(jnp.int32), 0, h2 - 1)
+                x2 = jnp.clip(boxes[:, 2].astype(jnp.int32), x1 + 1, w2)
+                y2 = jnp.clip(boxes[:, 3].astype(jnp.int32), y1 + 1, h2)
+                st, en = x1.astype(jnp.float32), x2.astype(jnp.float32)
+                rr = (jnp.arange(CROP_W, dtype=jnp.float32) + 0.5) / CROP_W
+                cx = st[:, None] + rr[None, :] * (en - st)[:, None] - 0.5
+                cx = jnp.clip(cx, st[:, None],
+                              jnp.maximum(en[:, None] - 1.0, st[:, None]))
+                i0 = jnp.clip(jnp.floor(cx).astype(jnp.int32), 0, w2 - 2)
+                fw = (cx - i0).astype(compute_dtype)
+                idx = jnp.stack([i0, i0 + 1], axis=0).reshape(-1)
+                cols = jnp.take(img, idx, axis=1)
+                cols = cols.reshape(h2, 2, dd, CROP_W, 3).astype(compute_dtype)
+                xrow = (cols[:, 0] * (1 - fw)[None, :, :, None]
+                        + cols[:, 1] * fw[None, :, :, None])
+                wy = _interp_matrix(y1, y2, h2, CROP_H, compute_dtype)
+                crops = jnp.einsum("dyh,hdxc->dyxc", wy, xrow,
+                                   preferred_element_type=jnp.float32)
+                return (crops / 255.0 - REID_MEAN) / REID_STD
+
+            def crop_gather_rows(frame, boxes, compute_dtype=jnp.bfloat16):
+                """Row-gather Y (DMA-shaped) + per-crop X matmul (47M vs
+                398M MAC/crop); needs sub-batching to bound intermediates."""
+                img = jnp.asarray(frame)
+                h2, w2 = img.shape[0], img.shape[1]
+                dd = boxes.shape[0]
+                x1 = jnp.clip(boxes[:, 0].astype(jnp.int32), 0, w2 - 1)
+                y1 = jnp.clip(boxes[:, 1].astype(jnp.int32), 0, h2 - 1)
+                x2 = jnp.clip(boxes[:, 2].astype(jnp.int32), x1 + 1, w2)
+                y2 = jnp.clip(boxes[:, 3].astype(jnp.int32), y1 + 1, h2)
+                st, en = y1.astype(jnp.float32), y2.astype(jnp.float32)
+                rr = (jnp.arange(CROP_H, dtype=jnp.float32) + 0.5) / CROP_H
+                cy = st[:, None] + rr[None, :] * (en - st)[:, None] - 0.5
+                cy = jnp.clip(cy, st[:, None],
+                              jnp.maximum(en[:, None] - 1.0, st[:, None]))
+                j0 = jnp.clip(jnp.floor(cy).astype(jnp.int32), 0, h2 - 2)
+                g = (cy - j0).astype(compute_dtype)
+                idx = jnp.stack([j0, j0 + 1], axis=0).reshape(-1)
+                rows = jnp.take(img, idx, axis=0)
+                rows = rows.reshape(2, dd, CROP_H, w2, 3).astype(compute_dtype)
+                yrow = (rows[0] * (1 - g)[:, :, None, None]
+                        + rows[1] * g[:, :, None, None])
+                wx = _interp_matrix(x1, x2, w2, CROP_W, compute_dtype)
+                crops = jnp.einsum("dxw,dywc->dyxc", wx, yrow,
+                                   preferred_element_type=jnp.float32)
+                return (crops / 255.0 - REID_MEAN) / REID_STD
 
             b7, m, mc = detect(det_params, frames)
             cap = args.cap
@@ -328,29 +385,45 @@ def main():
                 y2 = jnp.clip(xyxy[..., 3], 0, h - 1)
                 return jnp.stack([x1, y1, x2, y2], axis=-1)
 
-            from yolo_deepsort_tpu.ops.crops import crop_and_normalize_rowgather
-
-            for name, impl in (("matmul", crop_and_normalize),
-                               ("gather", crop_and_normalize_gather),
-                               ("rowgather", crop_and_normalize_rowgather)):
+            variants = (
+                ("matmul", crop_and_normalize, 0),
+                ("rowgather_map8", crop_gather_rows, 8),
+                ("rowgather_map16", crop_gather_rows, 16),
+            )
+            for name, impl, groups in variants:
                 @jax.jit
-                def run(fr, b7c, bump, impl=impl):
+                def run(fr, b7c, bump, impl=impl, groups=groups):
                     flat = fr.reshape(k * s, *hw, 3)
-                    c = jax.vmap(
-                        lambda f, bb: impl(f, bb, compute_dtype=jnp.bfloat16)
-                    )(flat, boxes_of(b7c + bump))
-                    return jnp.sum(c[0, 0, 0, 0])
+                    boxes = boxes_of(b7c + bump)
+                    if groups == 0:
+                        c = jax.vmap(
+                            lambda f, bb: impl(
+                                f, bb, compute_dtype=jnp.bfloat16)
+                        )(flat, boxes)
+                    else:  # bound gather intermediates: map over sub-batches
+                        c = jax.lax.map(
+                            lambda a: jax.vmap(
+                                lambda f, bb: impl(
+                                    f, bb, compute_dtype=jnp.bfloat16)
+                            )(*a),
+                            (flat.reshape(groups, -1, *hw, 3),
+                             boxes.reshape(groups, -1, cap, 4)),
+                        )
+                    return jnp.sum(c.reshape(-1)[0])
 
-                bump = jnp.float32(0)
-                rb = run(frames, b7, bump)
-                float(rb)
-                t0 = time.perf_counter()
-                for _ in range(args.steps):
+                try:
+                    bump = jnp.float32(0)
                     rb = run(frames, b7, bump)
-                    bump = rb * 1e-30
-                float(rb)
-                out[f"{name}_ms"] = round(
-                    (time.perf_counter() - t0) / args.steps * 1e3, 1)
+                    float(rb)
+                    t0 = time.perf_counter()
+                    for _ in range(args.steps):
+                        rb = run(frames, b7, bump)
+                        bump = rb * 1e-30
+                    float(rb)
+                    out[f"{name}_ms"] = round(
+                        (time.perf_counter() - t0) / args.steps * 1e3, 1)
+                except Exception as e:
+                    out[f"{name}_ms"] = f"FAILED: {type(e).__name__}"
             out["cap"] = cap
 
         elif args.probe == "track-split":

@@ -53,7 +53,6 @@ def main():
     )
 
     import numpy as np
-    import jax.numpy as jnp
     from functools import partial
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
