@@ -344,3 +344,28 @@ def test_geometry_cache_bounded():
     # (1,1) stayed hot (LRU), (2,2) was evicted by (3,3)
     assert built == [(1, 1), (2, 2), (3, 3)]
     assert len(c._d) == 2 and (1, 1) in c._d and (3, 3) in c._d
+
+
+def test_video_tracker_chunked_matches_per_frame(tiny_model):
+    """track_frames (K frames, one chunked dispatch, capacity bucketing)
+    must reproduce K sequential track_frame calls: same ids, same emits."""
+    cfg = TrackerConfig(max_tracks=16, max_dets=8, nn_budget=10)
+    vt_a = VideoTracker(tiny_model, tracked_classes=None, conf_thres=0.3,
+                        tracker_config=cfg)
+    vt_b = VideoTracker(tiny_model, tracked_classes=None, conf_thres=0.3,
+                        tracker_config=cfg)
+    rng = np.random.default_rng(4)
+    frames = rng.integers(0, 256, (6, 144, 192, 3), np.uint8)
+
+    per_frame = [vt_a.track_frame(f) for f in frames]
+    chunked = vt_b.track_frames(frames)
+
+    assert len(chunked) == 6
+    for t, (a, b) in enumerate(zip(per_frame, chunked)):
+        assert len(a) == len(b), f"frame {t}: {a} vs {b}"
+        if len(a):
+            np.testing.assert_array_equal(a[:, 4], b[:, 4])
+            np.testing.assert_allclose(a[:, :4], b[:, :4], atol=2)
+    # states converged identically (ids allocated the same)
+    assert int(np.asarray(vt_a.state.next_id)) == int(
+        np.asarray(vt_b.state.next_id))

@@ -496,6 +496,45 @@ class VideoTracker:
         self.state = TrackerState(**{k: jnp.asarray(d[k])
                                      for k in TrackerState._fields})
 
+    def _chunk_step_for(self, h: int, w: int, chunk: int):
+        def build():
+            from .parallel.streams import make_scanned_step_bucketed
+
+            return make_scanned_step_bucketed(
+                self.model.plan, self.det_cfg, self.trk_cfg, (h, w),
+                tracked_class_ids=self.tracked_class_ids,
+                compute_dtype=self.compute_dtype, donate_state=False,
+            )
+
+        # one BucketedScannedStep serves any chunk length (its stages
+        # re-specialize per frame-count internally)
+        del chunk
+        return self._steps.get((h, w, "chunked"), build)
+
+    def track_frames(self, frames_rgb: np.ndarray) -> Tuple[np.ndarray, list]:
+        """Offline/chunked mode: process K frames of ONE stream in a single
+        chunked device dispatch (stateless stages batched, tracker scanned;
+        detection-capacity bucketing sizes the crop/embed work to the
+        chunk's actual load). Same association math as K track_frame calls.
+
+        frames_rgb: (K, H, W, 3) uint8. Returns a list of K int64
+        [x1,y1,x2,y2,track_id] arrays, one per frame in order."""
+        k, h, w = frames_rgb.shape[0], frames_rgb.shape[1], frames_rgb.shape[2]
+        step = self._chunk_step_for(h, w, k)
+        states = jax.tree_util.tree_map(lambda x: x[None], self.state)
+        states, (outputs, emit) = step(
+            self.model.params, self.reid_params, states,
+            jnp.asarray(frames_rgb)[:, None],  # (K, S=1, H, W, 3)
+        )
+        self.state = jax.tree_util.tree_map(lambda x: x[0], states)
+        outputs = np.asarray(outputs)[:, 0]  # (K, T, 5)
+        emit = np.asarray(emit)[:, 0]
+        return [
+            outputs[t][emit[t]].astype(np.int64) if emit[t].any()
+            else np.zeros((0, 5), np.int64)
+            for t in range(k)
+        ]
+
     def track_frame(self, frame_rgb: np.ndarray) -> np.ndarray:
         """One frame -> int rows [x1, y1, x2, y2, track_id]."""
         h, w = frame_rgb.shape[:2]
