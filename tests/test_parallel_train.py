@@ -251,6 +251,37 @@ def test_bucketed_scanned_step_equals_full_capacity(small_net):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2)
 
 
+def test_bucketed_step_class_filter_parity(small_net):
+    """tracked_class_ids through the bucketed step: the capacity count is
+    taken BEFORE the class filter (a contiguous-prefix upper bound), the
+    filter applies after slicing -- results must equal the monolithic step
+    with the same filter."""
+    from yolo_deepsort_tpu.parallel.streams import (
+        make_scanned_step,
+        make_scanned_step_bucketed,
+    )
+
+    plan, det_params, reid_params = small_net
+    s, k = 2, 2
+    classes = np.array([0, 2, 5], np.int32)
+    rng = np.random.default_rng(9)
+    frames = jnp.asarray(
+        rng.integers(0, 256, (k, s, *FRAME_HW, 3), dtype=np.uint8))
+    states0 = init_stream_states(TRK_CFG, s)
+
+    full = make_scanned_step(plan, DET_CFG, TRK_CFG, FRAME_HW, k,
+                             tracked_class_ids=classes, donate_state=False)
+    bucketed = make_scanned_step_bucketed(
+        plan, DET_CFG, TRK_CFG, FRAME_HW, buckets=(2, 4),
+        tracked_class_ids=classes, donate_state=False)
+
+    st_a, (out_a, emit_a) = full(det_params, reid_params, states0, frames)
+    st_b, (out_b, emit_b) = bucketed(det_params, reid_params, states0, frames)
+    np.testing.assert_array_equal(np.asarray(emit_a), np.asarray(emit_b))
+    np.testing.assert_array_equal(np.asarray(out_a)[..., 4],
+                                  np.asarray(out_b)[..., 4])
+
+
 def test_cross_camera_gallery_match():
     """BASELINE config 5: a detection on one chip re-identifies against a
     confirmed track living on ANOTHER chip via the all-gathered gallery."""

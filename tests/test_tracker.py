@@ -2,6 +2,7 @@
 oracle (specs/tracker_np.py) on synthetic multi-object scenes with occlusion,
 birth/death, crossings and noisy appearance features."""
 
+import os
 from functools import partial
 
 import jax
@@ -335,3 +336,43 @@ def test_state_is_scan_and_jit_stable():
         s2, b2, e2 = step_e(s2, tlwh, conf, feat, mask, img_hw)
         np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
         np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW"),
+    reason="~400-frame long-horizon parity run (~1 min); set RUN_SLOW=1",
+)
+def test_parity_long_horizon_endurance():
+    """SURVEY 5.7 long-horizon state: 400 frames with persistent tracks
+    (multiple nn_budget wraparounds), periodic churn (id growth into the
+    hundreds through lane recycling) -- frame-level parity throughout."""
+    rng = np.random.default_rng(17)
+    n_frames = 400
+    persist = rng.normal(size=(3, FEAT_DIM))
+    persist /= np.linalg.norm(persist, axis=1, keepdims=True)
+    churn_feats = rng.normal(size=(300, FEAT_DIM))
+    churn_feats /= np.linalg.norm(churn_feats, axis=1, keepdims=True)
+    frames = []
+    for t in range(n_frames):
+        rows, confs, fs = [], [], []
+        for kk in range(3):  # persistent objects orbiting slowly
+            cx = 600 + 300 * np.cos(2 * np.pi * (t / 200 + kk / 3))
+            cy = 350 + 200 * np.sin(2 * np.pi * (t / 200 + kk / 3))
+            rows.append([cx, cy, 50, 100])
+            confs.append(0.9)
+            fs.append(persist[kk] + rng.normal(0, 0.03, FEAT_DIM))
+        wave = t // 10
+        if t % 10 < 7:  # churn: short-lived walker per 10-frame wave
+            rows.append([100 + 8 * (t % 10), 600, 40, 80])
+            confs.append(0.85)
+            fs.append(churn_feats[wave % len(churn_feats)])
+        fs = [f / np.linalg.norm(f) for f in fs]
+        frames.append((np.array(rows, np.float64), confs,
+                       np.array(fs, np.float64)))
+    cfg = TrackerConfig(max_tracks=32, max_dets=16, feat_dim=FEAT_DIM,
+                        nn_budget=100, max_age=5)
+    o = run_oracle(frames, nn_budget=100, max_age=5)
+    j = run_jax(frames, cfg)
+    compare(o, j)
+    # the churn drove id allocation far beyond the lane count
+    assert max(int(r[:, 4].max()) for r in o if len(r)) > 30
