@@ -144,3 +144,70 @@ def test_pallas_solver_matches_lax(monkeypatch):
             a, b, c_, d_, 0.25)
     )(cost, levels, rm, cm)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_two_stage_fused_matches_sequential(monkeypatch):
+    """solve_two_stage_assignment == cascade then det_taken-filtered IoU
+    stage: lax path by construction, pallas fused kernel (interpret mode)
+    against it on random two-stage cases, unbatched and vmapped."""
+    import jax
+
+    import yolo_deepsort_tpu.ops.assignment_pallas as ap
+    from yolo_deepsort_tpu.ops.assignment import _solve_cascade_lax
+
+    orig = ap._solve_two_batched_c
+    monkeypatch.setattr(
+        ap, "_solve_two_batched_c",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+
+    def lax_two_stage(ca, la, ra, co, ma, cb, rb_super, mb):
+        import jax.numpy as jnp
+
+        match_a = _solve_cascade_lax(ca, la, ra, co, ma)
+        c = ca.shape[1]
+        taken = np.zeros(c, bool)
+        for v in np.asarray(match_a):
+            if v >= 0:
+                taken[v] = True
+        rows_b = np.asarray(rb_super) & (np.asarray(match_a) < 0)
+        match_b = _solve_cascade_lax(
+            cb, jnp.zeros(cb.shape[:1], jnp.int32), rows_b,
+            np.asarray(co) & ~taken, mb,
+        )
+        return np.asarray(match_a), np.asarray(match_b)
+
+    rng = np.random.default_rng(5)
+    for trial in range(6):
+        r, c = 24, 10
+        ca = rng.uniform(0, 0.5, (r, c)).astype(np.float32)
+        la = rng.integers(0, 4, r).astype(np.int32)
+        ra = rng.uniform(size=r) < 0.5
+        co = rng.uniform(size=c) < 0.85
+        cb = rng.uniform(0, 1.2, (r, c)).astype(np.float32)
+        rb_super = (rng.uniform(size=r) < 0.5) | ra
+        ref_a, ref_b = lax_two_stage(ca, la, ra, co, 0.25, cb, rb_super, 0.7)
+        got_a, got_b = ap.solve_two_stage_pallas(
+            ca, la, ra, co, 0.25, cb, rb_super, 0.7)
+        np.testing.assert_array_equal(ref_a, np.asarray(got_a),
+                                      err_msg=f"trial {trial} stage A")
+        np.testing.assert_array_equal(ref_b, np.asarray(got_b),
+                                      err_msg=f"trial {trial} stage B")
+
+    # vmapped (the production shape inside the stream vmap)
+    s = 3
+    ca = rng.uniform(0, 0.5, (s, 24, 10)).astype(np.float32)
+    la = rng.integers(0, 4, (s, 24)).astype(np.int32)
+    ra = rng.uniform(size=(s, 24)) < 0.5
+    co = rng.uniform(size=(s, 10)) < 0.85
+    cb = rng.uniform(0, 1.2, (s, 24, 10)).astype(np.float32)
+    rb = (rng.uniform(size=(s, 24)) < 0.5) | ra
+    got_a, got_b = jax.vmap(
+        lambda a, b, c_, d_, e_, f_: ap.solve_two_stage_pallas(
+            a, b, c_, d_, 0.25, e_, f_, 0.7)
+    )(ca, la, ra, co, cb, rb)
+    for i in range(s):
+        ref_a, ref_b = lax_two_stage(ca[i], la[i], ra[i], co[i], 0.25,
+                                     cb[i], rb[i], 0.7)
+        np.testing.assert_array_equal(ref_a, np.asarray(got_a[i]))
+        np.testing.assert_array_equal(ref_b, np.asarray(got_b[i]))

@@ -40,6 +40,7 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 from functools import partial
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -240,3 +241,41 @@ def solve_masked_assignment(
         col_mask,
         max_distance,
     )
+
+
+def solve_two_stage_assignment(
+    cost_a: jnp.ndarray,       # (R, C) stage-A (cascade) costs
+    levels_a: jnp.ndarray,     # (R,) cascade levels
+    rows_a: jnp.ndarray,       # (R,) stage-A row mask
+    cols: jnp.ndarray,         # (C,) detection mask (shared)
+    maxd_a,                    # stage-A threshold
+    cost_b: jnp.ndarray,       # (R, C) stage-B (IoU) costs
+    rows_b_super: jnp.ndarray, # (R,) stage-B candidate rows BEFORE removing
+    #   stage-A winners (i.e. tentative | (confirmed & tsu == 1)); rows that
+    #   matched a real column in stage A are excluded automatically
+    maxd_b,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """DeepSORT's two-stage match as one solve: the gated-cosine cascade,
+    then IoU min_cost_matching over the leftover rows and detections
+    (reference: tracker.py _match). On TPU both stages run in a single
+    Pallas kernel dispatch; semantics identical to calling
+    solve_cascade_assignment then solve_masked_assignment with
+    det_taken-filtered columns."""
+    if _use_pallas_solver():
+        from .assignment_pallas import solve_two_stage_pallas
+
+        return solve_two_stage_pallas(
+            cost_a, levels_a, rows_a, cols, maxd_a, cost_b, rows_b_super,
+            maxd_b,
+        )
+    match_a = _solve_cascade_lax(cost_a, levels_a, rows_a, cols, maxd_a)
+    c = cost_a.shape[1]
+    det_taken = jnp.zeros((c,), bool).at[
+        jnp.where(match_a >= 0, match_a, c)
+    ].set(True, mode="drop")
+    rows_b = rows_b_super & (match_a < 0)
+    match_b = _solve_cascade_lax(
+        cost_b, jnp.zeros(cost_b.shape[:1], jnp.int32), rows_b,
+        cols & ~det_taken, maxd_b,
+    )
+    return match_a, match_b

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..config import TrackerConfig
 from ..ops import boxes as B
-from ..ops.assignment import solve_cascade_assignment, solve_masked_assignment
+from ..ops.assignment import solve_two_stage_assignment
 from . import kalman as K
 
 INFTY_COST = 1e5
@@ -123,24 +123,23 @@ def tracker_step(
     app_cost = _appearance_cost(state, det_feat, cfg)  # (T, D)
     maha = K.gating_distance_matrix(mean, cov, det_xyah)  # (T, D)
     gated_cost = jnp.where(maha > K.CHI2INV95_4DOF, INFTY_COST, app_cost)
-    match_a = solve_cascade_assignment(
-        gated_cost, tsu - 1, confirmed, det_mask, cfg.max_dist
-    )  # (T,) det idx or -1
 
-    det_taken = jnp.zeros(det_mask.shape, bool).at[
-        jnp.where(match_a >= 0, match_a, det_mask.shape[0])
-    ].set(True, mode="drop")
-
-    # ---- stage 2: IoU matching for unconfirmed + just-missed confirmed
+    # ---- stage 2 costs: IoU matching for unconfirmed + just-missed
+    # confirmed; both stages solve as ONE fused call (a single Pallas
+    # dispatch per frame on TPU)
     track_tlwh = B.xyah_to_tlwh(mean[:, :4])
     iou_cost = 1.0 - B.iou_tlwh(track_tlwh, det_tlwh)  # (T, D)
     iou_cost = jnp.where((tsu > 1)[:, None], INFTY_COST, iou_cost)
-    iou_rows = (state.state == STATE_TENTATIVE) | (
-        confirmed & (match_a < 0) & (tsu == 1)
+    iou_rows_super = (state.state == STATE_TENTATIVE) | (
+        confirmed & (tsu == 1)
     )
-    match_b = solve_masked_assignment(
-        iou_cost, iou_rows, det_mask & ~det_taken, cfg.max_iou_distance
+    match_a, match_b = solve_two_stage_assignment(
+        gated_cost, tsu - 1, confirmed, det_mask, cfg.max_dist,
+        iou_cost, iou_rows_super, cfg.max_iou_distance,
     )
+    det_taken = jnp.zeros(det_mask.shape, bool).at[
+        jnp.where(match_a >= 0, match_a, det_mask.shape[0])
+    ].set(True, mode="drop")
     match = jnp.where(match_a >= 0, match_a, match_b)  # (T,)
     matched = match >= 0
 
