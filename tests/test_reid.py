@@ -334,3 +334,50 @@ def test_crop_and_normalize_matches_reference_semantics():
         err = np.abs(ours[i] - ref)
         assert err.mean() < 0.02, f"box {i}: mean err {err.mean()}"
         assert np.quantile(err, 0.99) < 0.15, f"box {i}: p99 err high"
+
+
+def test_npz_training_checkpoint_deploys_into_facades(tmp_path):
+    """Train -> deploy loop: a checkpoint written by OUR training CLI
+    (.npz, unfolded BN) loads through load_reid_checkpoint and produces
+    the same features as the eval-mode training forward; the DeepSort
+    facade consumes the file directly."""
+    import jax.numpy as jnp
+
+    from yolo_deepsort_tpu.api import DeepSort
+    from yolo_deepsort_tpu.models.reid import (
+        fold_train_params,
+        load_reid_checkpoint,
+    )
+    from yolo_deepsort_tpu.train.reid_train import (
+        init_train_params,
+        reid_train_apply,
+    )
+    from yolo_deepsort_tpu.utils.checkpoint import save_reid_checkpoint
+
+    params, stats = init_train_params(num_classes=5, seed=3)
+    # non-identity running stats so folding bugs cannot hide
+    rng = np.random.default_rng(3)
+    import jax
+
+    stats = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) + rng.uniform(0.1, 0.3, np.shape(x)).astype(
+            np.float32), stats)
+
+    path = tmp_path / "ckpt.npz"
+    save_reid_checkpoint(path, params, acc=0.7, epoch=2, stats=stats)
+
+    folded = load_reid_checkpoint(str(path))
+    x = rng.normal(0, 1, (3, 128, 64, 3)).astype(np.float32)
+    feats_fold = np.asarray(reid_apply(folded, x))
+    feats_train, _ = reid_train_apply(params, stats, jnp.asarray(x),
+                                      train=False, features_only=True)
+    np.testing.assert_allclose(feats_fold, np.asarray(feats_train),
+                               rtol=1e-3, atol=1e-4)
+
+    ds = DeepSort(model_path=str(path), max_dets=4)
+    assert ds.cfg.feat_dim == 512
+    img = rng.integers(0, 255, (120, 160, 3)).astype(np.uint8)
+    for t in range(3):
+        out = ds.update(np.array([[60 + 2 * t, 60, 30, 60]], float),
+                        [0.9], img)
+    assert len(out) == 1 and out[0, 4] == 1

@@ -46,12 +46,20 @@ def _fold(conv_w_oihw, bn_w, bn_b, bn_m, bn_v, conv_b=None):
 
 
 def load_reid_checkpoint(path: str) -> Dict:
-    """Load the reference ``ckpt.t7`` (torch pickle with params under
-    'net_dict') into folded inference params. Requires torch (CPU).
+    """Load a ReID checkpoint into folded inference params.
 
-    Dispatches on the state-dict layout: the default deep/model.py Net
-    (512-d, ReLU) vs deep/original_model.py (128-d, ELU, dense head --
-    the original cosine-metric-learning checkpoint layout)."""
+    Two formats: the reference's ``ckpt.t7`` (torch pickle with params
+    under 'net_dict'; requires torch CPU), dispatching on the state-dict
+    layout -- the default deep/model.py Net (512-d, ReLU) vs
+    deep/original_model.py (128-d, ELU, dense head); or this framework's
+    own ``.npz`` training checkpoint (train/reid_cli.py), whose unfolded
+    BN train params fold here so a net trained with our CLI deploys
+    straight into DeepSort/VideoTracker/Extractor."""
+    if str(path).endswith(".npz"):
+        from ..utils.checkpoint import load_reid_checkpoint_npz
+
+        ck = load_reid_checkpoint_npz(path)
+        return fold_train_params(ck["net_dict"], ck["stats"])
     import torch
 
     state = torch.load(path, map_location="cpu", weights_only=False)
@@ -59,6 +67,45 @@ def load_reid_checkpoint(path: str) -> Dict:
     if "dense.1.weight" in sd:
         return original_params_from_state_dict(sd)
     return params_from_state_dict(sd)
+
+
+def fold_train_params(params: Dict, stats: Dict) -> Dict:
+    """Fold train-layout ReID params (HWIO convs + explicit BN gamma/beta +
+    running stats, train/reid_train.py layout) into inference params."""
+
+    def fold(p, st):
+        scale = (np.asarray(p["bn"]["gamma"], np.float32)
+                 / np.sqrt(np.asarray(st["var"], np.float32) + BN_EPS))
+        w = np.asarray(p["w"], np.float32) * scale  # HWIO: scale over O
+        pre = np.asarray(p.get("b", 0.0), np.float32)
+        b = (np.asarray(p["bn"]["beta"], np.float32)
+             + (pre - np.asarray(st["mean"], np.float32)) * scale)
+        return {"w": w.astype(np.float32), "b": b.astype(np.float32)}
+
+    out: Dict = {"stem": fold(params["stem"], stats["stem"]), "layers": []}
+    for blocks, sblocks in zip(params["layers"], stats["layers"]):
+        folded = []
+        for block, sblock in zip(blocks, sblocks):
+            folded.append({
+                "conv1": fold(block["conv1"], sblock["conv1"]),
+                "conv2": fold(block["conv2"], sblock["conv2"]),
+                "down": (fold(block["down"], sblock["down"])
+                         if block["down"] is not None else None),
+            })
+        out["layers"].append(folded)
+    if "classifier" in params:
+        c, sc = params["classifier"], stats["classifier"]
+        out["classifier"] = {
+            "fc1_w": np.asarray(c["fc1_w"], np.float32),
+            "fc1_b": np.asarray(c["fc1_b"], np.float32),
+            "bn_w": np.asarray(c["bn"]["gamma"], np.float32),
+            "bn_b": np.asarray(c["bn"]["beta"], np.float32),
+            "bn_m": np.asarray(sc["mean"], np.float32),
+            "bn_v": np.asarray(sc["var"], np.float32),
+            "fc2_w": np.asarray(c["fc2_w"], np.float32),
+            "fc2_b": np.asarray(c["fc2_b"], np.float32),
+        }
+    return out
 
 
 def feat_dim_of(params: Dict) -> int:
