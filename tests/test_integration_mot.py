@@ -18,8 +18,12 @@ def test_synthetic_mot_parity():
     # both trackers must actually track...
     assert m_jax.mota > 0.5, m_jax
     assert m_oracle.mota > 0.5, m_oracle
-    # ...and agree closely
-    assert abs(m_jax.mota - m_oracle.mota) < 0.06, (m_jax, m_oracle)
-    assert abs(m_jax.id_switches - m_oracle.id_switches) <= 3, (
+    # ...and agree tightly (measured: delta 0.0 at this size; the full-size
+    # run differs by 0.0057 MOTA / 2 IDsw from same-frame id-order
+    # permutations interacting with CLEAR-MOT matching). Round-1 review
+    # flagged the old 0.06 tolerance as loose; frame-level fuzz in
+    # test_tracker.py is the stronger evidence, this pins the metric level.
+    assert abs(m_jax.mota - m_oracle.mota) < 0.015, (m_jax, m_oracle)
+    assert abs(m_jax.id_switches - m_oracle.id_switches) <= 1, (
         m_jax, m_oracle,
     )
