@@ -58,6 +58,10 @@ def main():
     p.add_argument("--skip-k1-latency", action="store_true",
                    help="skip the single-frame low-latency mode measurement")
     p.add_argument("--f32", action="store_true", help="disable bf16 compute")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a jax profiler trace of the timed region "
+                        "into DIR (host-side events only through the axon "
+                        "tunnel; full xplane on local TPUs)")
     p.add_argument("--no-pallas-letterbox", action="store_true",
                    help="disable the fused Pallas letterbox kernel (on by "
                         "default; falls back to XLA automatically if the "
@@ -235,18 +239,23 @@ def main():
     # ---- throughput (chained state; one final readback closes the loop).
     # Bucketed mode pipelines with one chunk of detect lookahead so the
     # bucket-selection readback never idles the chip.
+    import contextlib
+
     pipelined = hasattr(step, "detect")
+    trace_cm = (jax.profiler.trace(args.trace) if args.trace
+                else contextlib.nullcontext())
     t0 = time.perf_counter()
-    if pipelined:
-        nxt = step.detect(det_params, frames)
-        for _ in range(args.steps):
-            cur = nxt
+    with trace_cm:
+        if pipelined:
             nxt = step.detect(det_params, frames)
-            states, (outputs, emit) = step.track(reid_params, states, cur)
-    else:
-        for _ in range(args.steps):
-            states, (outputs, emit) = run_chunk(states)
-    jax.block_until_ready(outputs)
+            for _ in range(args.steps):
+                cur = nxt
+                nxt = step.detect(det_params, frames)
+                states, (outputs, emit) = step.track(reid_params, states, cur)
+        else:
+            for _ in range(args.steps):
+                states, (outputs, emit) = run_chunk(states)
+        jax.block_until_ready(outputs)
     dt = time.perf_counter() - t0
     fps = s * k * args.steps / dt
 

@@ -369,3 +369,30 @@ def test_video_tracker_chunked_matches_per_frame(tiny_model):
     # states converged identically (ids allocated the same)
     assert int(np.asarray(vt_a.state.next_id)) == int(
         np.asarray(vt_b.state.next_id))
+
+
+def test_video_tracker_track_chunk_mode(tiny_model, tmp_path):
+    """track(..., chunk=K): buffered chunked dispatch + per-frame tail,
+    equal to the per-frame generator."""
+    cv2 = pytest.importorskip("cv2")
+    from yolo_deepsort_tpu.runtime.video import VideoWriter
+
+    path = str(tmp_path / "clip.mp4")
+    wri = VideoWriter(path, 10.0, (96, 72))
+    rng = np.random.default_rng(8)
+    for _ in range(5):  # 5 frames: one 3-chunk + 2-frame tail
+        wri.write(rng.integers(0, 256, (72, 96, 3), np.uint8))
+    wri.release()
+
+    cfg = TrackerConfig(max_tracks=8, max_dets=4, nn_budget=5)
+    vt_a = VideoTracker(tiny_model, tracked_classes=None, conf_thres=0.3,
+                        tracker_config=cfg)
+    vt_b = VideoTracker(tiny_model, tracked_classes=None, conf_thres=0.3,
+                        tracker_config=cfg)
+    ref = [o for _, o in vt_a.track(path)]
+    got = [o for _, o in vt_b.track(path, chunk=3)]
+    assert len(ref) == len(got) == 5
+    for t, (a, b) in enumerate(zip(ref, got)):
+        assert len(a) == len(b), f"frame {t}"
+        if len(a):
+            np.testing.assert_array_equal(a[:, 4], b[:, 4])

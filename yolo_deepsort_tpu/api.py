@@ -552,35 +552,61 @@ class VideoTracker:
         output_path: Optional[str] = None,
         real_show: bool = False,
         skip_frames: int = 0,
+        chunk: int = 0,
     ):
         """Generator over (annotated_frame_rgb, outputs).
 
         ``skip_frames`` mirrors VideoDetector's convention: run the
         detect+associate step every (skip_frames+1)-th frame and reuse the
         last outputs for annotation between (skipped frames never age the
-        tracker -- they simply did not happen)."""
+        tracker -- they simply did not happen).
+
+        ``chunk > 1`` enables offline/throughput mode: frames are buffered
+        and processed ``chunk`` at a time through one chunked device
+        dispatch (track_frames); results stream out per frame in order.
+        Tail frames shorter than a chunk run per-frame. Mutually exclusive
+        with skip_frames."""
         from .runtime.video import VideoSource, VideoWriter, show_frame
 
+        if chunk > 1 and skip_frames > 0:
+            raise ValueError("chunk and skip_frames are mutually exclusive")
         source = VideoSource(video_path)
         writer = VideoWriter(output_path, source.fps, source.size) if output_path else None
         t_last = time.time()
         outputs = np.zeros((0, 5), np.int64)
+
+        def emit(frame_rgb, outputs):
+            nonlocal t_last
+            annotated = draw_tracks(frame_rgb, outputs,
+                                    font_path=self.font_path)
+            now = time.time()
+            annotated = draw_fps(annotated, 1.0 / max(now - t_last, 1e-6))
+            t_last = now
+            out_bgr = np.ascontiguousarray(annotated[:, :, ::-1])
+            if writer:
+                writer.write(out_bgr)
+            if real_show:
+                show_frame(out_bgr)
+            return annotated
+
         try:
+            if chunk > 1:
+                buf: List[np.ndarray] = []
+                for frame_bgr in source:
+                    buf.append(np.ascontiguousarray(frame_bgr[:, :, ::-1]))
+                    if len(buf) == chunk:
+                        for f, o in zip(buf, self.track_frames(np.stack(buf))):
+                            yield emit(f, o), o
+                        buf = []
+                for f in buf:  # tail: per-frame, same math
+                    o = self.track_frame(f)
+                    yield emit(f, o), o
+                return
             for i, frame_bgr in enumerate(source):
                 frame_rgb = np.ascontiguousarray(frame_bgr[:, :, ::-1])
                 if skip_frames <= 0 or i % (skip_frames + 1) == 0:
                     outputs = self.track_frame(frame_rgb)
-                annotated = draw_tracks(frame_rgb, outputs,
-                                        font_path=self.font_path)
-                now = time.time()
-                annotated = draw_fps(annotated, 1.0 / max(now - t_last, 1e-6))
-                t_last = now
-                out_bgr = np.ascontiguousarray(annotated[:, :, ::-1])
-                if writer:
-                    writer.write(out_bgr)
-                if real_show:
-                    show_frame(out_bgr)
-                yield annotated, outputs
+                yield emit(frame_rgb, outputs), outputs
         finally:
             source.release()
             if writer:
