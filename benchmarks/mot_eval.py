@@ -112,8 +112,12 @@ def synthetic_eval(seed: int = 0, n_frames: int = 120, n_objects: int = 8,
             np.asarray(boxes)[np.asarray(emit)].astype(np.float64)
         )
 
+    from yolo_deepsort_tpu.utils.mot import idf1_score
+
     m_jax = evaluate_mot(gt_frames, jax_frames)
     m_oracle = evaluate_mot(gt_frames, oracle_frames)
+    m_jax.idf1 = idf1_score(gt_frames, jax_frames)
+    m_oracle.idf1 = idf1_score(gt_frames, oracle_frames)
     return m_jax, m_oracle
 
 
@@ -171,7 +175,11 @@ def sequence_eval(seq_dir: str, detector: str | None, weights: str | None,
                 conf = 1.0 / (1.0 + np.exp(-conf / 10.0))
                 out = ds.update(xywh, conf.tolist(), img)
             hyp_frames.append(out.astype(np.float64))
-    return evaluate_mot(gt_frames, hyp_frames)
+    from yolo_deepsort_tpu.utils.mot import idf1_score
+
+    m = evaluate_mot(gt_frames, hyp_frames)
+    m.idf1 = idf1_score(gt_frames, hyp_frames)
+    return m
 
 
 def main():
@@ -194,6 +202,8 @@ def main():
         print(json.dumps({
             "mota_jax": round(m_jax.mota, 4),
             "mota_oracle": round(m_oracle.mota, 4),
+            "idf1_jax": round(m_jax.idf1, 4),
+            "idf1_oracle": round(m_oracle.idf1, 4),
             "idsw_jax": m_jax.id_switches,
             "idsw_oracle": m_oracle.id_switches,
             "mota_delta": round(abs(m_jax.mota - m_oracle.mota), 4),
@@ -203,7 +213,8 @@ def main():
                           args.reid_ckpt, args.img_size,
                           max_dets=args.max_dets)
         print(m)
-        print(json.dumps({"mota": round(m.mota, 4), "idsw": m.id_switches}))
+        print(json.dumps({"mota": round(m.mota, 4), "idsw": m.id_switches,
+                          "idf1": round(m.idf1, 4)}))
     else:
         p.error("choose --synthetic or --seq DIR")
 

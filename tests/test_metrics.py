@@ -92,3 +92,32 @@ def test_mot_file_roundtrip(tmp_path):
     assert set(frames.keys()) == {1, 2}
     assert frames[1].shape == (2, 6)
     np.testing.assert_allclose(frames[1][0, 1:5], [10, 20, 40, 60])
+
+
+def test_idf1_perfect_and_switched():
+    from yolo_deepsort_tpu.utils.mot import idf1_score
+
+    def frame(rows_gt, rows_hyp):
+        gt = np.array([[i, x, y, x + 20, y + 40] for i, x, y in rows_gt],
+                      np.float64).reshape(-1, 5)
+        hyp = np.array([[x, y, x + 20, y + 40, i] for i, x, y in rows_hyp],
+                       np.float64).reshape(-1, 5)
+        return gt, hyp
+
+    # perfect tracking: IDF1 = 1
+    seq = [frame([(1, 10 + t, 50), (2, 100, 80 + t)],
+                 [(7, 10 + t, 50), (9, 100, 80 + t)]) for t in range(10)]
+    gts, hyps = zip(*seq)
+    assert idf1_score(gts, hyps) == 1.0
+
+    # identity swap at t=5: each gt trajectory is covered half by one hyp
+    # id, half by another -> IDTP = 10 of 20 -> IDF1 = 0.5
+    seq = [frame([(1, 10 + t, 50), (2, 100, 80 + t)],
+                 [(7, 10 + t, 50), (9, 100, 80 + t)] if t < 5 else
+                 [(9, 10 + t, 50), (7, 100, 80 + t)]) for t in range(10)]
+    gts, hyps = zip(*seq)
+    assert abs(idf1_score(gts, hyps) - 0.5) < 1e-9
+
+    # empty sequences
+    assert idf1_score([np.zeros((0, 5))], [np.zeros((0, 5))]) == 1.0
+    assert idf1_score([np.array([[1, 0, 0, 20, 40]])], [np.zeros((0, 5))]) == 0.0

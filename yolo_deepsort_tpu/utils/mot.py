@@ -28,12 +28,17 @@ class MotMetrics:
     matches: int
     num_gt: int
     num_frames: int
+    idf1: float = float("nan")  # identity F1; filled by callers that also
+    # run idf1_score (trajectory-level, not computable frame-incrementally)
 
     def __str__(self) -> str:
+        idf1 = "" if self.idf1 != self.idf1 else (
+            f" | IDF1 {self.idf1 * 100:.1f}%"
+        )
         return (
             f"MOTA {self.mota * 100:.1f}% | MOTP {self.motp * 100:.1f}% | "
             f"IDsw {self.id_switches} | FN {self.misses} | "
-            f"FP {self.false_positives} | GT {self.num_gt}"
+            f"FP {self.false_positives} | GT {self.num_gt}{idf1}"
         )
 
 
@@ -173,3 +178,52 @@ def mot_sequence_frames(
         rows = gt.get(f)
         out.append(rows[:, :5] if rows is not None else np.zeros((0, 5)))
     return out
+
+
+def idf1_score(
+    gt_frames: Sequence[np.ndarray],
+    hyp_frames: Sequence[np.ndarray],
+    iou_threshold: float = 0.5,
+) -> float:
+    """IDF1 (Ristani et al. 2016): identity-preservation F1.
+
+    Counts, for every (gt_id, hyp_id) pair, the frames in which they
+    spatially coincide (IoU >= threshold), solves ONE global bipartite
+    matching between gt and hypothesis trajectories maximizing total
+    coinciding frames (IDTP), and scores
+    IDF1 = 2*IDTP / (2*IDTP + IDFP + IDFN). Complements CLEAR-MOT: MOTA
+    counts per-frame events, IDF1 measures how long identities persist.
+    """
+    assert len(gt_frames) == len(hyp_frames)
+    pair_frames: Dict[tuple, int] = {}
+    gt_total: Dict[int, int] = {}
+    hyp_total: Dict[int, int] = {}
+    for gt, hyp in zip(gt_frames, hyp_frames):
+        gt = np.asarray(gt, np.float64).reshape(-1, 5)
+        hyp = np.asarray(hyp, np.float64).reshape(-1, 5)
+        for g in gt[:, 0].astype(int):
+            gt_total[g] = gt_total.get(g, 0) + 1
+        for h in hyp[:, 4].astype(int):
+            hyp_total[h] = hyp_total.get(h, 0) + 1
+        if not len(gt) or not len(hyp):
+            continue
+        iou = _iou(gt[:, 1:5], hyp[:, 0:4])
+        gi, hi = np.nonzero(iou >= iou_threshold)
+        for a, b in zip(gi, hi):
+            key = (int(gt[a, 0]), int(hyp[b, 4]))
+            pair_frames[key] = pair_frames.get(key, 0) + 1
+
+    gt_ids = sorted(gt_total)
+    hyp_ids = sorted(hyp_total)
+    n_gt_frames = sum(gt_total.values())
+    n_hyp_frames = sum(hyp_total.values())
+    if not gt_ids or not hyp_ids:
+        return 0.0 if (n_gt_frames or n_hyp_frames) else 1.0
+    overlap = np.zeros((len(gt_ids), len(hyp_ids)))
+    for (g, h), n in pair_frames.items():
+        overlap[gt_ids.index(g), hyp_ids.index(h)] = n
+    rows, cols = linear_sum_assignment(-overlap)
+    idtp = overlap[rows, cols].sum()
+    idfn = n_gt_frames - idtp
+    idfp = n_hyp_frames - idtp
+    return float(2 * idtp / max(2 * idtp + idfp + idfn, 1e-12))
