@@ -85,3 +85,41 @@ def test_list_dataset_batches_and_multiscale(tmp_path):
             pass
         sizes.update([s for *_x, s in [(None, None, None, ds.img_size)]])
     assert len(sizes) >= 1
+
+
+def test_mosaic_augmentation(tmp_path):
+    """Mosaic: 4-image composite, labels clipped to visible quadrants,
+    normalized coords in range, degenerate slivers dropped."""
+    from PIL import Image
+
+    from yolo_deepsort_tpu.data.datasets import ListDataset
+
+    img_dir = tmp_path / "images"
+    lbl_dir = tmp_path / "labels"
+    img_dir.mkdir(); lbl_dir.mkdir()
+    rng = np.random.default_rng(0)
+    paths = []
+    colors = [(200, 30, 30), (30, 200, 30), (30, 30, 200), (200, 200, 30)]
+    for i in range(4):
+        p = img_dir / f"im{i}.jpg"
+        Image.fromarray(np.full((64, 64, 3), colors[i], np.uint8)).save(p)
+        (lbl_dir / f"im{i}.txt").write_text("0 0.5 0.5 0.5 0.5")
+        paths.append(str(p))
+    lst = tmp_path / "train.txt"
+    lst.write_text("\n".join(paths))
+
+    ds = ListDataset(str(lst), img_size=64, augment=False, multiscale=False,
+                     max_targets=16, mosaic=True, seed=1)
+    for _ in range(4):  # several random centers
+        for imgs, targets, mask, size in ds.batches(2, shuffle=False):
+            assert imgs.shape == (2, 64, 64, 3)
+            t = targets[mask]
+            assert len(t) >= 2  # some boxes always survive clipping
+            # normalized, in-range, non-degenerate
+            assert (t[:, 2:] >= 0).all() and (t[:, 2:] <= 1).all()
+            assert (t[:, 4] > 0).all() and (t[:, 5] > 0).all()
+            # box extents stay inside the canvas
+            assert ((t[:, 2] - t[:, 4] / 2) >= -1e-6).all()
+            assert ((t[:, 2] + t[:, 4] / 2) <= 1 + 1e-6).all()
+            # and the composite actually contains several source images
+            assert len(np.unique(imgs[0].reshape(-1, 3), axis=0)) > 2

@@ -84,3 +84,67 @@ def test_full_net_loss_runs():
     tmask = np.array([True] + [False] * 7)
     total, metrics = yolo_loss(plan, raw_maps, tpad, tmask)
     assert np.isfinite(float(total))
+
+
+def test_ciou_box_loss_properties():
+    """CIoU option: zero for a perfect prediction, positive and decreasing
+    under gradient steps, finite at garbage non-obj cells."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_deepsort_tpu.train.yolo_loss import yolo_head_loss
+
+    rng = np.random.default_rng(0)
+    nB, g, nC, img = 2, 8, 4, 128
+    targets = np.array([[0, 1, 0.53, 0.47, 0.25, 0.3],
+                        [1, 2, 0.22, 0.81, 0.1, 0.15]], np.float32)
+    tmask = np.ones(2, bool)
+
+    # craft a raw map whose decoded box EXACTLY matches target 0's cell
+    raw = rng.normal(0, 3, (nB, g, g, 3 * (5 + nC))).astype(np.float32)
+
+    def sigmoid_inv(p):
+        return np.log(p / (1 - p))
+
+    stride = img / g
+    anchors = np.asarray(ANCHORS, np.float32)
+    for b, cls_, cx, cy, w, h in targets:
+        gx, gy = cx * g, cy * g
+        gi, gj = int(gx), int(gy)
+        gwn, ghn = w * g, h * g
+        ious = (np.minimum(anchors[:, 0] / stride, gwn)
+                * np.minimum(anchors[:, 1] / stride, ghn))
+        ious /= (anchors[:, 0] / stride * anchors[:, 1] / stride
+                 + gwn * ghn - ious)
+        a = int(np.argmax(ious))
+        base = a * (5 + nC)
+        raw[int(b), gj, gi, base + 0] = sigmoid_inv(np.clip(gx - gi, 1e-3, 1 - 1e-3))
+        raw[int(b), gj, gi, base + 1] = sigmoid_inv(np.clip(gy - gj, 1e-3, 1 - 1e-3))
+        raw[int(b), gj, gi, base + 2] = np.log(gwn / (anchors[a, 0] / stride))
+        raw[int(b), gj, gi, base + 3] = np.log(ghn / (anchors[a, 1] / stride))
+
+    total, m = yolo_head_loss(jnp.asarray(raw), jnp.asarray(targets),
+                              jnp.asarray(tmask), ANCHORS, nC, img,
+                              box_loss="ciou")
+    box = float(m["loss_x"] + m["loss_y"] + m["loss_w"] + m["loss_h"])
+    assert np.isfinite(float(total))
+    assert box < 1e-4, box  # perfect boxes: CIoU loss ~ 0
+
+    # gradient descent on a perturbed map must reduce the box term
+    raw2 = raw.copy()
+    raw2 += rng.normal(0, 0.5, raw.shape).astype(np.float32)
+
+    def box_term(r):
+        _, mm = yolo_head_loss(r, jnp.asarray(targets), jnp.asarray(tmask),
+                               ANCHORS, nC, img, box_loss="ciou")
+        return mm["loss_x"] + mm["loss_y"] + mm["loss_w"] + mm["loss_h"]
+
+    gfn = jax.jit(jax.value_and_grad(box_term))
+    r = jnp.asarray(raw2)
+    v0, _ = gfn(r)
+    for _ in range(25):
+        v, grad = gfn(r)
+        assert np.isfinite(float(v))
+        r = r - 0.5 * grad
+    vN, _ = gfn(r)
+    assert float(vN) < float(v0) * 0.5, (float(v0), float(vN))

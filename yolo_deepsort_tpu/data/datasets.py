@@ -80,6 +80,7 @@ class ListDataset:
         multiscale: bool = True,
         max_targets: int = 64,
         seed: int = 0,
+        mosaic: bool = False,
     ):
         with open(list_path, "r", encoding="utf-8") as f:
             self.img_files = [l.strip() for l in f if l.strip()]
@@ -96,6 +97,7 @@ class ListDataset:
         self.augment = augment
         self.multiscale = multiscale
         self.max_targets = max_targets
+        self.mosaic = mosaic
         self.batch_count = 0
         self._rng = random.Random(seed)
 
@@ -134,6 +136,56 @@ class ListDataset:
                 boxes[:, 1] = 1.0 - boxes[:, 1]
         return x, boxes
 
+    def load_mosaic(self, index: int, size: int):
+        """YOLOv4-style 4-image mosaic (not in the reference lineage's
+        training path; opt-in via --mosaic): place this sample + 3 random
+        ones into the quadrants of a 2x canvas around a random center,
+        clip labels to their visible regions, then 2x-downscale back to
+        ``size``. Boxes are returned in the same normalized convention as
+        load_sample."""
+        s = size
+        xc = self._rng.randint(s // 2, 3 * s // 2)
+        yc = self._rng.randint(s // 2, 3 * s // 2)
+        idxs = [index] + [self._rng.randrange(len(self)) for _ in range(3)]
+        canvas = np.zeros((2 * s, 2 * s, 3), np.float32)
+        rows = []
+        for i, idx in enumerate(idxs):
+            x, boxes = self.load_sample(idx, s)
+            if i == 0:
+                x1a, y1a, x2a, y2a = max(xc - s, 0), max(yc - s, 0), xc, yc
+            elif i == 1:
+                x1a, y1a, x2a, y2a = xc, max(yc - s, 0), min(xc + s, 2 * s), yc
+            elif i == 2:
+                x1a, y1a, x2a, y2a = max(xc - s, 0), yc, xc, min(yc + s, 2 * s)
+            else:
+                x1a, y1a, x2a, y2a = (xc, yc, min(xc + s, 2 * s),
+                                      min(yc + s, 2 * s))
+            w_, h_ = x2a - x1a, y2a - y1a
+            if w_ <= 0 or h_ <= 0:
+                continue
+            x1b = s - w_ if i in (0, 2) else 0
+            y1b = s - h_ if i in (0, 1) else 0
+            canvas[y1a:y2a, x1a:x2a] = x[y1b:y1b + h_, x1b:x1b + w_]
+            if len(boxes):
+                cx = boxes[:, 1] * s + (x1a - x1b)
+                cy = boxes[:, 2] * s + (y1a - y1b)
+                bw = boxes[:, 3] * s
+                bh = boxes[:, 4] * s
+                xx1 = np.clip(cx - bw / 2, x1a, x2a)
+                yy1 = np.clip(cy - bh / 2, y1a, y2a)
+                xx2 = np.clip(cx + bw / 2, x1a, x2a)
+                yy2 = np.clip(cy + bh / 2, y1a, y2a)
+                keep = (xx2 - xx1 > 2) & (yy2 - yy1 > 2)
+                for c_, a, b, c2, d in zip(boxes[keep, 0], xx1[keep],
+                                           yy1[keep], xx2[keep], yy2[keep]):
+                    rows.append([c_, (a + c2) / 2 / (2 * s),
+                                 (b + d) / 2 / (2 * s),
+                                 (c2 - a) / (2 * s), (d - b) / (2 * s)])
+        # 2x box downscale: average-pool the canvas back to (s, s)
+        out = canvas.reshape(s, 2, s, 2, 3).mean(axis=(1, 3))
+        return out.astype(np.float32), np.asarray(rows, np.float64).reshape(
+            -1, 5)
+
     def batches(
         self, batch_size: int, shuffle: bool = True
     ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray, int]]:
@@ -152,7 +204,8 @@ class ListDataset:
                 size = self._rng.randrange(self.min_size, self.max_size + 1, 32)
             imgs, tgt_rows = [], []
             for bi, idx in enumerate(order[b0 : b0 + batch_size]):
-                x, boxes = self.load_sample(idx, size)
+                x, boxes = (self.load_mosaic(idx, size) if self.mosaic
+                            else self.load_sample(idx, size))
                 imgs.append(x)
                 for row in boxes:
                     tgt_rows.append([bi, *row])

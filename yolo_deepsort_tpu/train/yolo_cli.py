@@ -168,7 +168,7 @@ def make_forward_train(plan, bn_update=0.01):
     return forward_train
 
 
-def make_detection_train_step(plan, tx, bn_update=0.01):
+def make_detection_train_step(plan, tx, bn_update=0.01, box_loss="mse"):
     """Jitted train step over raw/unfolded params with live BN statistics."""
     import jax
 
@@ -178,7 +178,8 @@ def make_detection_train_step(plan, tx, bn_update=0.01):
 
     def loss_fn(params, stats, images, targets, tmask):
         raw_maps, new_stats = forward_train(params, stats, images)
-        total, metrics = yolo_loss(plan, raw_maps, targets, tmask)
+        total, metrics = yolo_loss(plan, raw_maps, targets, tmask,
+                                   box_loss=box_loss)
         return total, (new_stats, metrics)
 
     def train_step(params, opt_state, stats, images, targets, tmask):
@@ -224,6 +225,11 @@ def main():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--export-weights", default=None)
     p.add_argument("--multiscale", action="store_true")
+    p.add_argument("--mosaic", action="store_true",
+                   help="YOLOv4-style 4-image mosaic augmentation")
+    p.add_argument("--box-loss", default="mse", choices=["mse", "ciou"],
+                   help="box regression: per-coordinate MSE (reference "
+                        "lineage) or the yolov4-paper CIoU")
     p.add_argument("--log-interval", type=int, default=10)
     args = p.parse_args()
 
@@ -249,10 +255,10 @@ def main():
         seen = int(ck["seen"])
         print(f"resumed at seen={seen}")
 
-    step = jax.jit(make_detection_train_step(plan, tx))
+    step = jax.jit(make_detection_train_step(plan, tx, box_loss=args.box_loss))
     ds = ListDataset(
         args.data, img_size=plan.img_size, multiscale=args.multiscale,
-        max_targets=args.max_targets,
+        max_targets=args.max_targets, mosaic=args.mosaic,
     )
     os.makedirs(os.path.dirname(args.ckpt) or ".", exist_ok=True)
 

@@ -38,6 +38,7 @@ def yolo_head_loss(
     num_classes: int,
     img_dim: int,
     ignore_thres: float = 0.5,
+    box_loss: str = "mse",
 ):
     nB, g, _, ch = raw_nhwc.shape
     nA = len(anchors_px)
@@ -111,10 +112,49 @@ def yolo_head_loss(
 
     obj_f = obj_mask.astype(jnp.float32)
     noobj_f = noobj_mask.astype(jnp.float32)
-    loss_x = _masked_mean((x - tx) ** 2, obj_f)
-    loss_y = _masked_mean((y - ty) ** 2, obj_f)
-    loss_w = _masked_mean((w - tw) ** 2, obj_f)
-    loss_h = _masked_mean((h - th) ** 2, obj_f)
+    if box_loss == "ciou":
+        # YOLOv4's Complete-IoU box regression (Zheng et al. 2020): IoU
+        # term + normalized center distance + aspect-consistency penalty.
+        # The reference lineage trains with per-coordinate MSE; this is the
+        # yolov4-paper upgrade, opt-in via --box-loss ciou.
+        tgw = scatter(gwh[:, 0])
+        tgh = scatter(gwh[:, 1])
+        # clip raw wh logits: non-obj cells still flow through the masked
+        # mean multiplied by 0, and exp overflow there would poison it
+        # with inf*0=nan
+        pw = anchors_g[None, :, None, None, 0] * jnp.exp(jnp.clip(w, -20, 20))
+        ph = anchors_g[None, :, None, None, 1] * jnp.exp(jnp.clip(h, -20, 20))
+        eps = 1e-9
+        # same-cell origin: center offsets compare directly (grid units)
+        inter_w = jnp.maximum(
+            jnp.minimum(x + pw / 2, tx + tgw / 2)
+            - jnp.maximum(x - pw / 2, tx - tgw / 2), 0.0)
+        inter_h = jnp.maximum(
+            jnp.minimum(y + ph / 2, ty + tgh / 2)
+            - jnp.maximum(y - ph / 2, ty - tgh / 2), 0.0)
+        inter = inter_w * inter_h
+        union = pw * ph + tgw * tgh - inter + eps
+        iou_b = inter / union
+        rho2 = (x - tx) ** 2 + (y - ty) ** 2
+        cw = (jnp.maximum(x + pw / 2, tx + tgw / 2)
+              - jnp.minimum(x - pw / 2, tx - tgw / 2))
+        chh = (jnp.maximum(y + ph / 2, ty + tgh / 2)
+               - jnp.minimum(y - ph / 2, ty - tgh / 2))
+        c2 = cw ** 2 + chh ** 2 + eps
+        vv = (4.0 / jnp.pi ** 2) * (
+            jnp.arctan(tgw / (tgh + eps)) - jnp.arctan(pw / (ph + eps))
+        ) ** 2
+        import jax.lax as _lax
+
+        alpha = _lax.stop_gradient(vv / (1.0 - iou_b + vv + eps))
+        ciou = iou_b - rho2 / c2 - alpha * vv
+        loss_box = _masked_mean(1.0 - ciou, obj_f)
+        loss_x = loss_y = loss_w = loss_h = loss_box / 4.0  # metric split
+    else:
+        loss_x = _masked_mean((x - tx) ** 2, obj_f)
+        loss_y = _masked_mean((y - ty) ** 2, obj_f)
+        loss_w = _masked_mean((w - tw) ** 2, obj_f)
+        loss_h = _masked_mean((h - th) ** 2, obj_f)
     loss_conf_obj = _masked_mean(_bce(conf, tconf), obj_f)
     loss_conf_noobj = _masked_mean(_bce(conf, tconf), noobj_f)
     # reference: BCE over class vector averaged over all obj cells and classes
@@ -138,16 +178,18 @@ def yolo_loss(
     targets: jnp.ndarray,
     target_mask: jnp.ndarray,
     ignore_thres: float = 0.5,
+    box_loss: str = "mse",
 ):
     """Total loss over all heads of a network plan (models.py Darknet.forward
     training: sum of per-head losses). ``raw_maps`` from
-    network_apply(..., return_feature_maps=True)."""
+    network_apply(..., return_feature_maps=True). ``box_loss``: "mse"
+    (reference lineage) or "ciou" (yolov4-paper box regression)."""
     total = 0.0
     metrics = {}
     for spec, raw in zip(plan.heads, raw_maps):
         t, m = yolo_head_loss(
             raw, targets, target_mask, spec.anchors, spec.num_classes,
-            plan.img_size, ignore_thres,
+            plan.img_size, ignore_thres, box_loss=box_loss,
         )
         total = total + t
         for k, v in m.items():
