@@ -85,3 +85,12 @@ def test_track_multicamera_example(tmp_path):
               "--img-size", "96", "--height", "72", "--width", "96",
               "--max-steps", "4"])
     assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_make_demo_example(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    out = tmp_path / "demo.mp4"
+    r = _run(["examples/make_demo.py", "--out", str(out), "--frames", "12",
+              "--width", "160", "--height", "120", "--objects", "2"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists() and out.stat().st_size > 0
