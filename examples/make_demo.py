@@ -33,9 +33,16 @@ def main():
     rng = np.random.default_rng(0)
     h, w, n = args.height, args.width, args.objects
     colors = rng.integers(60, 255, (n, 3))
-    pos = rng.uniform([40, 40], [w - 80, h - 120], (n, 2))
+    # object sizes scale down with the frame so tiny demo frames stay valid
+    max_bw = max(8, min(44, w // 6))
+    max_bh = max(12, min(90, h // 3))
+    size = rng.uniform([max_bw * 0.6, max_bh * 0.6], [max_bw, max_bh], (n, 2))
+    pos = rng.uniform(
+        [40, 40],
+        [max(41, w - 40 - max_bw), max(41, h - 40 - max_bh)],
+        (n, 2),
+    )
     vel = rng.uniform(-3, 3, (n, 2))
-    size = rng.uniform([24, 48], [44, 90], (n, 2))
 
     ds = DeepSort(max_dets=16)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

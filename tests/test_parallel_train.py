@@ -282,6 +282,69 @@ def test_bucketed_step_class_filter_parity(small_net):
                                   np.asarray(out_b)[..., 4])
 
 
+def test_bucketed_step_crop_window_parity(small_net):
+    """The crop-window ladder is a pure perf transform: with aggressively
+    small windows the bucketed step must still reproduce the monolithic
+    step's outputs -- the stats readback measures the chunk's real max crop
+    extents and falls back toward the full frame whenever a consumed
+    detection would not fit, so selection can never go inexact."""
+    from yolo_deepsort_tpu.parallel.streams import (
+        make_scanned_step,
+        make_scanned_step_bucketed,
+    )
+
+    plan, det_params, reid_params = small_net
+    s, k = 2, 3
+    rng = np.random.default_rng(11)
+    frames = jnp.asarray(
+        rng.integers(0, 256, (k, s, *FRAME_HW, 3), dtype=np.uint8))
+    states0 = init_stream_states(TRK_CFG, s)
+
+    full = make_scanned_step(plan, DET_CFG, TRK_CFG, FRAME_HW, k,
+                             donate_state=False)
+    bucketed = make_scanned_step_bucketed(
+        plan, DET_CFG, TRK_CFG, FRAME_HW, buckets=(2, 4), donate_state=False,
+        windows=((8, 8), (16, 24), (32, 48)),
+    )
+
+    st_a, (out_a, emit_a) = full(det_params, reid_params, states0, frames)
+    st_b, (out_b, emit_b) = bucketed(det_params, reid_params, states0, frames)
+    assert bucketed.last_window in bucketed._windows
+    np.testing.assert_array_equal(np.asarray(emit_a), np.asarray(emit_b))
+    np.testing.assert_array_equal(np.asarray(out_a)[..., 4],
+                                  np.asarray(out_b)[..., 4])
+    np.testing.assert_allclose(np.asarray(out_a)[..., :4],
+                               np.asarray(out_b)[..., :4], atol=2)
+    for a, b in zip(jax.tree_util.tree_leaves(st_a),
+                    jax.tree_util.tree_leaves(st_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2)
+
+
+def test_window_ladder_selection():
+    """_window_for picks the smallest covering rung and falls back to the
+    full frame; the ladder always contains the full frame and clamps
+    oversized rungs."""
+    from yolo_deepsort_tpu.cfg import yolov3_tiny
+    from yolo_deepsort_tpu.models.darknet import build_network
+    from yolo_deepsort_tpu.parallel.streams import BucketedScannedStep
+
+    plan = build_network(yolov3_tiny(img_size=96))
+    step = BucketedScannedStep(
+        plan, DET_CFG, TRK_CFG, (100, 200),
+        windows=((16, 16), (48, 64), (1000, 2000)),
+    )
+    assert step._windows == ((16, 16), (48, 64), (100, 200))
+    assert step._window_for(10, 10) == (16, 16)
+    assert step._window_for(17, 10) == (48, 64)
+    assert step._window_for(10, 17) == (48, 64)
+    assert step._window_for(49, 10) == (100, 200)
+    assert step._window_for(0, 0) == (16, 16)
+    assert step._window_for(101, 300) == (100, 200)  # oversize -> full frame
+    none_step = BucketedScannedStep(
+        plan, DET_CFG, TRK_CFG, (100, 200), windows=None)
+    assert none_step._windows == ((100, 200),)
+
+
 def test_cross_camera_gallery_match():
     """BASELINE config 5: a detection on one chip re-identifies against a
     confirmed track living on ANOTHER chip via the all-gathered gallery."""

@@ -336,6 +336,37 @@ def test_crop_and_normalize_matches_reference_semantics():
         assert np.quantile(err, 0.99) < 0.15, f"box {i}: p99 err high"
 
 
+def test_crop_and_normalize_windowed_exact_vs_dense():
+    """The windowed resampler is bit-identical to the dense one whenever the
+    integer crop extent fits the window (the exactness contract the bucketed
+    step's stats readback guarantees), degenerates to dense at the full
+    frame, and stays finite on oversized (masked-row) boxes."""
+    from yolo_deepsort_tpu.ops.crops import (
+        crop_and_normalize,
+        crop_and_normalize_windowed,
+    )
+
+    rng = np.random.default_rng(7)
+    frame = rng.integers(0, 256, (240, 320, 3), dtype=np.uint8)
+    n = 17
+    bw = rng.uniform(2, 60, n)
+    bh = rng.uniform(2, 90, n)
+    x1 = rng.uniform(-10, 320, n)  # includes edge-clipped boxes
+    y1 = rng.uniform(-10, 240, n)
+    boxes = np.stack([x1, y1, x1 + bw, y1 + bh], 1).astype(np.float32)
+
+    dense = np.asarray(crop_and_normalize(frame, boxes))
+    win = np.asarray(crop_and_normalize_windowed(frame, boxes, 96, 64))
+    np.testing.assert_array_equal(dense, win)
+
+    full = np.asarray(crop_and_normalize_windowed(frame, boxes, 240, 320))
+    np.testing.assert_array_equal(dense, full)
+
+    big = np.array([[0, 0, 320, 240]], np.float32)  # exceeds the window
+    out = np.asarray(crop_and_normalize_windowed(frame, big, 96, 64))
+    assert np.isfinite(out).all()
+
+
 def test_npz_training_checkpoint_deploys_into_facades(tmp_path):
     """Train -> deploy loop: a checkpoint written by OUR training CLI
     (.npz, unfolded BN) loads through load_reid_checkpoint and produces

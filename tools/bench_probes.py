@@ -75,7 +75,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--probe", required=True,
                    choices=["reid-layout", "nms-share", "counts", "stem",
-                            "track-split", "crops-impl", "jv-scan"])
+                            "track-split", "crops-impl", "jv-scan",
+                            "crop-window"])
     p.add_argument("--model", default="yolov3")
     p.add_argument("--img-size", type=int, default=416)
     p.add_argument("--scan", type=int, default=16)
@@ -292,6 +293,63 @@ def main():
             float(rb)
             out[f"{name}_ms"] = round(
                 (time.perf_counter() - t0) / args.steps * 1e3, 1)
+
+    elif args.probe == "crop-window":
+        # windowed vs dense crop resampler at chunk scale: D = K*S*cap boxes
+        # with MOT-person-like geometry (the workload the window ladder is
+        # sized for), plus a heavy-tailed variant. Timing isolates the crop
+        # stage exactly as the track stage runs it (vmap over K*S frames).
+        from yolo_deepsort_tpu.ops.crops import (
+            crop_and_normalize, crop_and_normalize_windowed)
+
+        rng = np.random.default_rng(0)
+        n_frames, cap = k * s, args.cap
+        h2, w2 = hw
+        frames2 = jnp.asarray(rng.integers(
+            0, 256, (n_frames, h2, w2, 3), dtype=np.uint8))
+        # person-like boxes: h ~ N(250, 60), aspect ~0.4
+        bh = np.clip(rng.normal(250, 60, (n_frames, cap)), 40, 315)
+        bw = np.clip(bh * rng.normal(0.4, 0.08, (n_frames, cap)), 16, 188)
+        cx = rng.uniform(0, w2, (n_frames, cap))
+        cy = rng.uniform(0, h2, (n_frames, cap))
+        boxes = jnp.asarray(np.stack(
+            [cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2],
+            axis=-1).astype(np.float32))
+
+        variants = {"dense": None, "win320x192": (320, 192),
+                    "win640x384": (640, 384), "win160x96": (160, 96)}
+        ref = None
+        for name, win in variants.items():
+            if win is None:
+                fn1 = lambda f, b: crop_and_normalize(
+                    f, b, compute_dtype=jnp.bfloat16)
+            else:
+                fn1 = (lambda wn: lambda f, b: crop_and_normalize_windowed(
+                    f, b, wn[0], wn[1], compute_dtype=jnp.bfloat16))(win)
+
+            @jax.jit
+            def run(fr, bx, bump, fn1=fn1):
+                c = jax.vmap(fn1)(fr, bx + bump)
+                return c, jnp.sum(c[0, 0, 0, 0])
+
+            try:
+                c, rb = run(frames2, boxes, jnp.float32(0))
+                if win is None:
+                    ref = np.asarray(c[:2], np.float32)
+                elif win == (320, 192):
+                    out["max_diff_vs_dense"] = float(
+                        np.abs(np.asarray(c[:2], np.float32) - ref).max())
+                bump = rb * 1e-30
+                float(rb)
+                t0 = time.perf_counter()
+                for _ in range(args.steps):
+                    c, rb = run(frames2, boxes, bump)
+                    bump = rb * 1e-30
+                float(rb)
+                out[f"{name}_ms"] = round(
+                    (time.perf_counter() - t0) / args.steps * 1e3, 1)
+            except Exception as e:
+                out[f"{name}_ms"] = f"FAILED: {type(e).__name__}"
 
     else:
         from yolo_deepsort_tpu.config import DetectorConfig, TrackerConfig

@@ -23,6 +23,7 @@ is preserved.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -52,6 +53,16 @@ def _interp_matrix(starts, ends, limit: int, out_size: int, dtype):
     return w.astype(dtype)
 
 
+def crop_window_bounds(boxes_xyxy, frame_h: int, frame_w: int):
+    """Integer crop-window corners exactly as crop_and_normalize computes
+    them: (x1, y1, x2, y2) int32 with x2/y2 exclusive and at least 1 px."""
+    x1 = jnp.clip(boxes_xyxy[..., 0].astype(jnp.int32), 0, frame_w - 1)
+    y1 = jnp.clip(boxes_xyxy[..., 1].astype(jnp.int32), 0, frame_h - 1)
+    x2 = jnp.clip(boxes_xyxy[..., 2].astype(jnp.int32), x1 + 1, frame_w)
+    y2 = jnp.clip(boxes_xyxy[..., 3].astype(jnp.int32), y1 + 1, frame_h)
+    return x1, y1, x2, y2
+
+
 def crop_and_normalize(
     frame_rgb: jnp.ndarray,  # (H, W, 3) uint8 or float
     boxes_xyxy: jnp.ndarray,  # (D, 4) float, already clipped to the frame
@@ -65,10 +76,7 @@ def crop_and_normalize(
     img = jnp.asarray(frame_rgb)
     h, w = img.shape[0], img.shape[1]
 
-    x1 = jnp.clip(boxes_xyxy[:, 0].astype(jnp.int32), 0, w - 1)
-    y1 = jnp.clip(boxes_xyxy[:, 1].astype(jnp.int32), 0, h - 1)
-    x2 = jnp.clip(boxes_xyxy[:, 2].astype(jnp.int32), x1 + 1, w)
-    y2 = jnp.clip(boxes_xyxy[:, 3].astype(jnp.int32), y1 + 1, h)
+    x1, y1, x2, y2 = crop_window_bounds(boxes_xyxy, h, w)
 
     wy = _interp_matrix(y1, y2, h, CROP_H, compute_dtype)  # (D, 128, H)
     wx = _interp_matrix(x1, x2, w, CROP_W, compute_dtype)  # (D, 64, W)
@@ -77,6 +85,58 @@ def crop_and_normalize(
     # contract the (usually larger) W axis first: (D,64,W) x (H,W,C)
     tmp = jnp.einsum(
         "dxw,hwc->dhxc", wx, imgc, preferred_element_type=jnp.float32
+    ).astype(compute_dtype)
+    crops = jnp.einsum(
+        "dyh,dhxc->dyxc", wy, tmp, preferred_element_type=jnp.float32
+    )  # (D, 128, 64, 3) f32
+
+    crops = crops / 255.0
+    return (crops - REID_MEAN) / REID_STD
+
+
+def crop_and_normalize_windowed(
+    frame_rgb: jnp.ndarray,  # (H, W, 3) uint8 or float
+    boxes_xyxy: jnp.ndarray,  # (D, 4) float, already clipped to the frame
+    win_h: int,
+    win_w: int,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """crop_and_normalize through a fixed (win_h, win_w) source window.
+
+    The dense resampler contracts the FULL frame axes for every box -- at
+    1080p that is ~400 MMAC/crop of which typically <20% lands inside the
+    crop. Here each box dynamic_slices a (win_h, win_w, 3) window anchored
+    at its (clipped) top-left corner and both interpolation contractions run
+    inside the window: compute and intermediate HBM traffic scale with the
+    window, not the frame.
+
+    EXACT (bit-identical sampling to crop_and_normalize) whenever every
+    box's integer crop extent fits the window: (y2-y1) <= win_h and
+    (x2-x1) <= win_w per crop_window_bounds. Callers guarantee this by
+    selecting the window from the batch's measured max crop extent (see
+    parallel/streams.py BucketedScannedStep); oversized boxes resample a
+    truncated window (finite, garbage -- callers only let that happen on
+    masked-out rows). Output rows whose sample coords fall wholly outside
+    the window get zero weight sums and normalize to the -mean/std color."""
+    img = jnp.asarray(frame_rgb)
+    h, w = img.shape[0], img.shape[1]
+    win_h, win_w = min(int(win_h), h), min(int(win_w), w)
+
+    x1, y1, x2, y2 = crop_window_bounds(boxes_xyxy, h, w)
+    ox = jnp.clip(x1, 0, w - win_w)  # window origin: box corner, pulled
+    oy = jnp.clip(y1, 0, h - win_h)  # inside the frame near the edges
+
+    windows = jax.vmap(
+        lambda yo, xo: jax.lax.dynamic_slice(img, (yo, xo, 0), (win_h, win_w, 3))
+    )(oy, ox)  # (D, win_h, win_w, 3)
+
+    # interpolation weights in window-relative coordinates
+    wy = _interp_matrix(y1 - oy, y2 - oy, win_h, CROP_H, compute_dtype)
+    wx = _interp_matrix(x1 - ox, x2 - ox, win_w, CROP_W, compute_dtype)
+
+    winc = windows.astype(compute_dtype)
+    tmp = jnp.einsum(
+        "dxw,dhwc->dhxc", wx, winc, preferred_element_type=jnp.float32
     ).astype(compute_dtype)
     crops = jnp.einsum(
         "dyh,dhxc->dyxc", wy, tmp, preferred_element_type=jnp.float32

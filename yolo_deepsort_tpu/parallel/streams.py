@@ -17,7 +17,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import DetectorConfig, TrackerConfig
 from ..models.darknet import NetworkPlan, network_apply
 from ..models.reid import reid_apply
-from ..ops.crops import crop_and_normalize
+from ..ops.crops import (
+    crop_and_normalize,
+    crop_and_normalize_windowed,
+    crop_window_bounds,
+)
 from ..ops.letterbox import letterbox, rescale_boxes
 from ..ops.pallas_letterbox import pallas_letterbox_batch
 from ..ops.nms import batched_nms
@@ -227,16 +231,22 @@ def make_scanned_detect_stage(
     compute_dtype=jnp.float32,
     use_pallas_letterbox: bool = False,
     conf_thres_per_stream=None,  # optional (S,) overriding det_cfg.conf_thres
+    tracked_class_ids=None,
 ):
     """Detection half of the bucketed scanned step: letterbox -> backbone ->
     NMS over the whole (K, S) chunk at FULL det capacity.
 
     Returns jitted (det_params, frames (K,S,H,W,3)) ->
-    (boxes7 (K*S, D, 7), mask (K*S, D), max_count ()) where max_count is the
-    largest per-frame detection count in the chunk -- the 1-int host readback
-    that selects the downstream capacity bucket. NMS emits valid rows as a
-    contiguous prefix (ops/nms.py body writes slot i on iteration i), so any
-    capacity >= max_count preserves every detection exactly."""
+    (boxes7 (K*S, D, 7), mask (K*S, D), stats (3,) int32) where stats =
+    [max_count, max_crop_h, max_crop_w] over the chunk -- the one host
+    readback that selects the downstream capacity bucket and crop window.
+    max_count is the largest per-frame detection count (NMS emits valid rows
+    as a contiguous prefix -- ops/nms.py body writes slot i on iteration i --
+    so any capacity >= max_count preserves every detection exactly);
+    max_crop_h/w are the largest integer crop extents among rows that
+    survive mask AND the tracked-class filter (only those rows' ReID
+    features are ever consumed, so any crop window covering them keeps the
+    windowed resampler exact, ops/crops.py)."""
     h, w = frame_hw
     size = det_cfg.img_size
 
@@ -259,7 +269,21 @@ def make_scanned_detect_stage(
             det_cfg.max_boxes, trk_cfg.max_dets,
         )
         max_count = jnp.max(jnp.sum(mask, axis=-1)).astype(jnp.int32)
-        return boxes7, mask, max_count
+
+        consumed = mask
+        if tracked_class_ids is not None:
+            consumed = consumed & jnp.isin(
+                boxes7[..., 6].astype(jnp.int32), jnp.asarray(tracked_class_ids)
+            )
+        xyxy = jax.vmap(lambda b: rescale_boxes(b[:, :4], size, h, w))(boxes7)
+        x1, y1, x2, y2 = crop_window_bounds(xyxy, h, w)
+        ch = jnp.where(consumed, y2 - y1, 0)
+        cw = jnp.where(consumed, x2 - x1, 0)
+        stats = jnp.stack(
+            [max_count, jnp.max(ch).astype(jnp.int32),
+             jnp.max(cw).astype(jnp.int32)]
+        )
+        return boxes7, mask, stats
 
     return jax.jit(detect)
 
@@ -272,6 +296,7 @@ def make_scanned_track_stage(
     tracked_class_ids=None,
     compute_dtype=jnp.float32,
     donate_state: bool = True,
+    crop_window: Optional[Tuple[int, int]] = None,
 ):
     """Tracking half of the bucketed scanned step at detection capacity
     ``cap``: rescale -> crop -> ReID embed -> scanned tracker association,
@@ -279,12 +304,20 @@ def make_scanned_track_stage(
     step's largest fixed cost (round-1 stage budget: 9.4 of 29.3 ms at
     cap=64); running it at the chunk's actual load is the bucketing win.
 
+    ``crop_window`` (win_h, win_w) routes the ReID crop resampler through a
+    fixed source window per box (ops/crops.py crop_and_normalize_windowed)
+    instead of contracting the full frame -- exact as long as every
+    CONSUMED detection's crop extent fits the window, which the caller
+    guarantees from the detect stage's measured max (stats readback).
+
     Output shapes ((K,S,T,5), (K,S,T)) do not depend on ``cap``."""
     import dataclasses
 
     h, w = frame_hw
     size = det_cfg.img_size
     cfg_c = dataclasses.replace(trk_cfg, max_dets=cap)
+    if crop_window is not None and (crop_window[0] >= h and crop_window[1] >= w):
+        crop_window = None  # full-frame window degenerates to the dense path
 
     def track(reid_params, states, frames, boxes7, mask):
         k, s = frames.shape[0], frames.shape[1]
@@ -301,9 +334,18 @@ def make_scanned_track_stage(
         x2 = jnp.clip(xyxy[..., 2], 0, w - 1)
         y2 = jnp.clip(xyxy[..., 3], 0, h - 1)
         tlwh = jnp.stack([x1, y1, x2 - x1, y2 - y1], axis=-1)
-        crops = jax.vmap(
-            lambda f, b: crop_and_normalize(f, b, compute_dtype=compute_dtype)
-        )(flat, jnp.stack([x1, y1, x2, y2], axis=-1))  # (K*S, cap, 128, 64, 3)
+        if crop_window is not None:
+            wh, ww = crop_window
+            crop_fn = lambda f, b: crop_and_normalize_windowed(
+                f, b, wh, ww, compute_dtype=compute_dtype
+            )
+        else:
+            crop_fn = lambda f, b: crop_and_normalize(
+                f, b, compute_dtype=compute_dtype
+            )
+        crops = jax.vmap(crop_fn)(
+            flat, jnp.stack([x1, y1, x2, y2], axis=-1)
+        )  # (K*S, cap, 128, 64, 3)
         feats = reid_apply(
             reid_params, crops.reshape(k * s * cap, *crops.shape[2:]),
             compute_dtype=compute_dtype,
@@ -344,9 +386,17 @@ class BucketedScannedStep:
     and tracker state layouts are capacity-independent -- states flow across
     buckets unchanged.
 
+    The same readback also carries the chunk's max crop extents, which pick
+    a ReID crop WINDOW from ``windows`` (smallest ladder entry covering
+    every consumed detection's crop): the windowed resampler's compute and
+    HBM traffic scale with the window instead of the full frame
+    (ops/crops.py crop_and_normalize_windowed), and any window covering the
+    measured max is exact. A chunk with one frame-sized box simply falls
+    back to the dense full-frame path.
+
     One readback per K*S-frame chunk (~sub-ms vs a multi-hundred-ms chunk).
-    Track-stage variants compile lazily per bucket and persist in the jit
-    cache."""
+    Track-stage variants compile lazily per (bucket, window) and persist in
+    the jit cache."""
 
     def __init__(
         self,
@@ -360,23 +410,32 @@ class BucketedScannedStep:
         donate_state: bool = True,
         use_pallas_letterbox: bool = False,
         conf_thres_per_stream=None,
+        windows: Optional[Tuple[Tuple[int, int], ...]] = (
+            (160, 96), (320, 192), (640, 384),
+        ),
     ):
+        h, w = frame_hw
         self._detect = make_scanned_detect_stage(
             plan, det_cfg, trk_cfg, frame_hw, compute_dtype=compute_dtype,
             use_pallas_letterbox=use_pallas_letterbox,
             conf_thres_per_stream=conf_thres_per_stream,
+            tracked_class_ids=tracked_class_ids,
         )
         self._buckets = tuple(sorted(
             {b for b in buckets if b < trk_cfg.max_dets} | {trk_cfg.max_dets}
         ))
-        self._mk = lambda cap: make_scanned_track_stage(
+        # window ladder, clamped to the frame; (h, w) = dense full-frame path
+        ladder = [(min(wh, h), min(ww, w)) for wh, ww in (windows or ())]
+        self._windows = tuple(sorted(set(ladder) | {(h, w)}))
+        self._mk = lambda cap, win: make_scanned_track_stage(
             det_cfg, trk_cfg, frame_hw, cap,
             tracked_class_ids=tracked_class_ids, compute_dtype=compute_dtype,
-            donate_state=donate_state,
+            donate_state=donate_state, crop_window=win,
         )
         self._track = {}
         self.last_bucket: Optional[int] = None
         self.last_max_count: Optional[int] = None
+        self.last_window: Optional[Tuple[int, int]] = None
 
     def _bucket_for(self, count: int) -> int:
         for b in self._buckets:
@@ -384,25 +443,34 @@ class BucketedScannedStep:
                 return b
         return self._buckets[-1]
 
+    def _window_for(self, max_h: int, max_w: int) -> Tuple[int, int]:
+        for wh, ww in self._windows:
+            if max_h <= wh and max_w <= ww:
+                return (wh, ww)
+        return self._windows[-1]
+
     def detect(self, det_params, frames):
         """Enqueue the detect stage; returns an opaque handle for track().
         Dispatching the NEXT chunk's detect before reading THIS chunk's
-        count hides the bucket-selection readback behind device work (the
+        stats hides the bucket-selection readback behind device work (the
         readback sync otherwise idles the chip for one host round-trip per
         chunk -- measured ~50 ms through the axon tunnel)."""
-        boxes7, mask, max_count = self._detect(det_params, frames)
-        return (frames, boxes7, mask, max_count)
+        boxes7, mask, stats = self._detect(det_params, frames)
+        return (frames, boxes7, mask, stats)
 
     def track(self, reid_params, states, handle):
-        """Finish a chunk started with detect(): reads the 1-int count,
-        picks the capacity bucket, runs the track stage."""
-        frames, boxes7, mask, max_count = handle
-        count = int(max_count)
+        """Finish a chunk started with detect(): reads the 3-int stats
+        (max count, max crop extents), picks the capacity bucket + crop
+        window, runs the track stage."""
+        frames, boxes7, mask, stats = handle
+        count, max_h, max_w = (int(v) for v in np.asarray(stats))
         cap = self._bucket_for(count)
+        win = self._window_for(max_h, max_w)
         self.last_bucket, self.last_max_count = cap, count
-        fn = self._track.get(cap)
+        self.last_window = win
+        fn = self._track.get((cap, win))
         if fn is None:
-            fn = self._track[cap] = self._mk(cap)
+            fn = self._track[(cap, win)] = self._mk(cap, win)
         return fn(reid_params, states, frames, boxes7, mask)
 
     def __call__(self, det_params, reid_params, states, frames):
@@ -421,12 +489,15 @@ def make_scanned_step_bucketed(
     donate_state: bool = True,
     use_pallas_letterbox: bool = False,
     conf_thres_per_stream=None,
+    windows: Optional[Tuple[Tuple[int, int], ...]] = (
+        (160, 96), (320, 192), (640, 384),
+    ),
 ) -> BucketedScannedStep:
     return BucketedScannedStep(
         plan, det_cfg, trk_cfg, frame_hw, buckets=buckets,
         tracked_class_ids=tracked_class_ids, compute_dtype=compute_dtype,
         donate_state=donate_state, use_pallas_letterbox=use_pallas_letterbox,
-        conf_thres_per_stream=conf_thres_per_stream,
+        conf_thres_per_stream=conf_thres_per_stream, windows=windows,
     )
 
 
