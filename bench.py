@@ -34,6 +34,46 @@ def percentile(xs, p):
     return float(np.percentile(np.asarray(xs, np.float64), p))
 
 
+# person-like box-height ladder (1080p-frame pixels): spans the MOT16
+# pedestrian range; each anchor of each yolo head aims at one rung so the
+# planted detections carry realistic crop geometry instead of exp(N(0,1))
+# anchor noise (see plant_box_prior)
+BOX_PRIOR_HEIGHTS = (120.0, 150.0, 185.0, 225.0, 270.0)
+BOX_PRIOR_ASPECT = 0.41  # w/h, Market-1501 crop aspect
+
+
+def plant_box_prior(raw, plan, frame_hw, heights=BOX_PRIOR_HEIGHTS,
+                    aspect=BOX_PRIOR_ASPECT):
+    """Rewrite each yolo head's tw/th channels the way training would set
+    them: a trained detector's head BIASES encode the dataset's box-size
+    statistics (boxes decode as anchor*exp(bias + Wx), and on person data
+    the learned biases pull every anchor toward person geometry). Random
+    weights instead sample all 9 anchors uniformly with exp(N(0,1)) spread,
+    which yields frame-sized boxes no MOT scene produces.
+
+    Here: zero the tw/th weight rows and set their biases so anchor a of
+    head g decodes boxes of height heights[(3g+a) % len] (in FRAME pixels,
+    converted through the letterbox scale) and width aspect*height. Box
+    CENTERS still come from the live sigmoid(tx/ty) decode, objectness and
+    class channels stay untouched (threshold calibration is unaffected).
+    In-place on the raw darknet params; returns them."""
+    size = plan.img_size
+    scale = size / float(max(frame_hw))  # frame px -> letterbox px
+    for g, head in enumerate(plan.heads):
+        conv_idx = head.module_index - 1
+        layer = raw[conv_idx]
+        per = 5 + head.num_classes
+        for a, (pw, ph) in enumerate(head.anchors):
+            h_t = heights[(3 * g + a) % len(heights)] * scale
+            w_t = aspect * h_t
+            cw, ch = a * per + 2, a * per + 3
+            layer["conv_weight"][cw] = 0.0
+            layer["conv_weight"][ch] = 0.0
+            layer["conv_bias"][cw] = np.log(w_t / pw)
+            layer["conv_bias"][ch] = np.log(h_t / ph)
+    return raw
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="yolov3", choices=["yolov3", "yolov3-tiny", "yolov4"])
@@ -51,6 +91,12 @@ def main():
                         "frame (0 = no calibration, raw conf 0.5 on noise)")
     p.add_argument("--buckets", default="16,24,32,36,40,48",
                    help="detection-capacity buckets for the post-NMS stages")
+    p.add_argument("--box-prior", default="mot", choices=["mot", "raw"],
+                   help="geometry of the planted detections: 'mot' aims the "
+                        "yolo-head w/h biases at MOT-person box sizes (what "
+                        "a trained head's biases encode); 'raw' keeps the "
+                        "random-weight exp(N(0,1)) anchor noise, whose "
+                        "frame-sized boxes disable the crop-window path")
     p.add_argument("--no-bucketing", action="store_true",
                    help="run the monolithic worst-case-capacity step")
     p.add_argument("--latency-steps", type=int, default=10,
@@ -148,6 +194,8 @@ def main():
         new_stats = jax.device_get(capture(t_params, t_stats, xs))
         raw = train_params_to_raw(t_params, {**t_stats, **new_stats},
                                   plan.defs())
+        if args.box_prior == "mot":
+            raw = plant_box_prior(raw, plan, (args.frame_h, args.frame_w))
     det_params = W.fold_inference_params(raw, plan.defs())
 
     det_params = jax.tree_util.tree_map(jnp.asarray, det_params)
@@ -192,6 +240,7 @@ def main():
                 buckets=buckets, compute_dtype=compute_dtype,
                 use_pallas_letterbox=use_pallas_lb,
                 conf_thres_per_stream=conf_vec,
+                use_pallas_crops=use_pallas_lb,
             )
         if k > 1:
             return make_scanned_step(
@@ -299,7 +348,11 @@ def main():
         "tracks_active": round(tracks_active, 1),
         "conf_thres": round(conf_thres, 4),
         "capacity_bucket": getattr(step, "last_bucket", args.max_dets),
+        "box_prior": args.box_prior,
     }
+    if getattr(step, "last_window", None) is not None:
+        rec["crop_window"] = list(step.last_window)
+        rec["max_crop_hw"] = list(step.last_crop_hw)
     if dets_per_frame is not None:
         rec["dets_per_frame"] = round(dets_per_frame, 1)
     if p50 is not None:

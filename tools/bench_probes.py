@@ -300,6 +300,7 @@ def main():
         # sized for), plus a heavy-tailed variant. Timing isolates the crop
         # stage exactly as the track stage runs it (vmap over K*S frames).
         from yolo_deepsort_tpu.ops.crops import (
+            CROP_H, CROP_W, REID_MEAN, REID_STD,
             crop_and_normalize, crop_and_normalize_windowed)
 
         rng = np.random.default_rng(0)
@@ -316,20 +317,70 @@ def main():
             [cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2],
             axis=-1).astype(np.float32))
 
+        def windowed_aligned(frame, boxes, win_h, win_w,
+                             compute_dtype=jnp.bfloat16):
+            """Like crop_and_normalize_windowed but with 8-row / 128-lane
+            ALIGNED window origins (padded window) -- does XLA's gather get
+            fast when the slices are tile-aligned?"""
+            from yolo_deepsort_tpu.ops.crops import (
+                crop_window_bounds, _interp_matrix)
+            img = jnp.asarray(frame)
+            h2, w2 = img.shape[0], img.shape[1]
+            wh = min(win_h + 8, h2)
+            ww = min(win_w + 128, w2)
+            x1, y1, x2, y2 = crop_window_bounds(boxes, h2, w2)
+            oy = (jnp.clip(y1, 0, h2 - wh) // 8) * 8
+            ox = (jnp.clip(x1, 0, w2 - ww) // 128) * 128
+            windows = jax.vmap(
+                lambda yo, xo: jax.lax.dynamic_slice(
+                    img, (yo, xo, 0), (wh, ww, 3))
+            )(oy, ox)
+            wy = _interp_matrix(y1 - oy, y2 - oy, wh, CROP_H, compute_dtype)
+            wx = _interp_matrix(x1 - ox, x2 - ox, ww, CROP_W, compute_dtype)
+            winc = windows.astype(compute_dtype)
+            tmp = jnp.einsum("dxw,dhwc->dhxc", wx, winc,
+                             preferred_element_type=jnp.float32
+                             ).astype(compute_dtype)
+            crops = jnp.einsum("dyh,dhxc->dyxc", wy, tmp,
+                               preferred_element_type=jnp.float32)
+            return (crops / 255.0 - REID_MEAN) / REID_STD
+
+        from yolo_deepsort_tpu.ops.pallas_crops import (
+            pallas_crop_and_normalize_batch)
+
         variants = {"dense": None, "win320x192": (320, 192),
-                    "win640x384": (640, 384), "win160x96": (160, 96)}
+                    "win640x384": (640, 384), "win160x96": (160, 96),
+                    "al320x192": ("aligned", 320, 192),
+                    "al640x384": ("aligned", 640, 384),
+                    "pl320x192g1": ("pallas", 320, 192, 1),
+                    "pl320x192g4": ("pallas", 320, 192, 4),
+                    "pl320x192g8": ("pallas", 320, 192, 8),
+                    "pl640x384g4": ("pallas", 640, 384, 4),
+                    "pl160x96g8": ("pallas", 160, 96, 8)}
         ref = None
         for name, win in variants.items():
+            batched_fn = None
             if win is None:
                 fn1 = lambda f, b: crop_and_normalize(
                     f, b, compute_dtype=jnp.bfloat16)
+            elif win[0] == "aligned":
+                fn1 = (lambda wn: lambda f, b: windowed_aligned(
+                    f, b, wn[1], wn[2]))(win)
+            elif win[0] == "pallas":
+                batched_fn = (
+                    lambda wn: lambda fr, bx: pallas_crop_and_normalize_batch(
+                        fr, bx, wn[1], wn[2], crops_per_program=wn[3]))(win)
+                fn1 = None
             else:
                 fn1 = (lambda wn: lambda f, b: crop_and_normalize_windowed(
                     f, b, wn[0], wn[1], compute_dtype=jnp.bfloat16))(win)
 
             @jax.jit
-            def run(fr, bx, bump, fn1=fn1):
-                c = jax.vmap(fn1)(fr, bx + bump)
+            def run(fr, bx, bump, fn1=fn1, batched_fn=batched_fn):
+                if batched_fn is not None:
+                    c = batched_fn(fr, bx + bump)
+                else:
+                    c = jax.vmap(fn1)(fr, bx + bump)
                 return c, jnp.sum(c[0, 0, 0, 0])
 
             try:

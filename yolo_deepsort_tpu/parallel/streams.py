@@ -297,6 +297,7 @@ def make_scanned_track_stage(
     compute_dtype=jnp.float32,
     donate_state: bool = True,
     crop_window: Optional[Tuple[int, int]] = None,
+    use_pallas_crops: bool = False,
 ):
     """Tracking half of the bucketed scanned step at detection capacity
     ``cap``: rescale -> crop -> ReID embed -> scanned tracker association,
@@ -334,18 +335,25 @@ def make_scanned_track_stage(
         x2 = jnp.clip(xyxy[..., 2], 0, w - 1)
         y2 = jnp.clip(xyxy[..., 3], 0, h - 1)
         tlwh = jnp.stack([x1, y1, x2 - x1, y2 - y1], axis=-1)
-        if crop_window is not None:
-            wh, ww = crop_window
-            crop_fn = lambda f, b: crop_and_normalize_windowed(
-                f, b, wh, ww, compute_dtype=compute_dtype
+        boxes_xyxy = jnp.stack([x1, y1, x2, y2], axis=-1)
+        if crop_window is not None and use_pallas_crops:
+            from ..ops.pallas_crops import pallas_crop_and_normalize_batch
+
+            crops = pallas_crop_and_normalize_batch(
+                flat, boxes_xyxy, crop_window[0], crop_window[1]
             )
         else:
-            crop_fn = lambda f, b: crop_and_normalize(
-                f, b, compute_dtype=compute_dtype
-            )
-        crops = jax.vmap(crop_fn)(
-            flat, jnp.stack([x1, y1, x2, y2], axis=-1)
-        )  # (K*S, cap, 128, 64, 3)
+            if crop_window is not None:
+                wh, ww = crop_window
+                crop_fn = lambda f, b: crop_and_normalize_windowed(
+                    f, b, wh, ww, compute_dtype=compute_dtype
+                )
+            else:
+                crop_fn = lambda f, b: crop_and_normalize(
+                    f, b, compute_dtype=compute_dtype
+                )
+            crops = jax.vmap(crop_fn)(flat, boxes_xyxy)
+        # (K*S, cap, 128, 64, 3)
         feats = reid_apply(
             reid_params, crops.reshape(k * s * cap, *crops.shape[2:]),
             compute_dtype=compute_dtype,
@@ -413,6 +421,7 @@ class BucketedScannedStep:
         windows: Optional[Tuple[Tuple[int, int], ...]] = (
             (160, 96), (320, 192), (640, 384),
         ),
+        use_pallas_crops: bool = False,
     ):
         h, w = frame_hw
         self._detect = make_scanned_detect_stage(
@@ -427,15 +436,25 @@ class BucketedScannedStep:
         # window ladder, clamped to the frame; (h, w) = dense full-frame path
         ladder = [(min(wh, h), min(ww, w)) for wh, ww in (windows or ())]
         self._windows = tuple(sorted(set(ladder) | {(h, w)}))
-        self._mk = lambda cap, win: make_scanned_track_stage(
-            det_cfg, trk_cfg, frame_hw, cap,
-            tracked_class_ids=tracked_class_ids, compute_dtype=compute_dtype,
-            donate_state=donate_state, crop_window=win,
-        )
+        def _mk(cap, win):
+            pallas_ok = False
+            if use_pallas_crops and win is not None and win != (h, w):
+                from ..ops.pallas_crops import pallas_crops_supported
+
+                pallas_ok = pallas_crops_supported(h, w, win[0], win[1])
+            return make_scanned_track_stage(
+                det_cfg, trk_cfg, frame_hw, cap,
+                tracked_class_ids=tracked_class_ids,
+                compute_dtype=compute_dtype, donate_state=donate_state,
+                crop_window=win, use_pallas_crops=pallas_ok,
+            )
+
+        self._mk = _mk
         self._track = {}
         self.last_bucket: Optional[int] = None
         self.last_max_count: Optional[int] = None
         self.last_window: Optional[Tuple[int, int]] = None
+        self.last_crop_hw: Optional[Tuple[int, int]] = None
 
     def _bucket_for(self, count: int) -> int:
         for b in self._buckets:
@@ -467,7 +486,7 @@ class BucketedScannedStep:
         cap = self._bucket_for(count)
         win = self._window_for(max_h, max_w)
         self.last_bucket, self.last_max_count = cap, count
-        self.last_window = win
+        self.last_window, self.last_crop_hw = win, (max_h, max_w)
         fn = self._track.get((cap, win))
         if fn is None:
             fn = self._track[(cap, win)] = self._mk(cap, win)
@@ -492,12 +511,14 @@ def make_scanned_step_bucketed(
     windows: Optional[Tuple[Tuple[int, int], ...]] = (
         (160, 96), (320, 192), (640, 384),
     ),
+    use_pallas_crops: bool = False,
 ) -> BucketedScannedStep:
     return BucketedScannedStep(
         plan, det_cfg, trk_cfg, frame_hw, buckets=buckets,
         tracked_class_ids=tracked_class_ids, compute_dtype=compute_dtype,
         donate_state=donate_state, use_pallas_letterbox=use_pallas_letterbox,
         conf_thres_per_stream=conf_thres_per_stream, windows=windows,
+        use_pallas_crops=use_pallas_crops,
     )
 
 
