@@ -34,10 +34,12 @@ def percentile(xs, p):
     return float(np.percentile(np.asarray(xs, np.float64), p))
 
 
-# person-like box-height ladder (1080p-frame pixels): spans the MOT16
-# pedestrian range; each anchor of each yolo head aims at one rung so the
-# planted detections carry realistic crop geometry instead of exp(N(0,1))
-# anchor noise (see plant_box_prior)
+# person-like box-height ladder AT 1080p (frame pixels; scaled by
+# frame_h/1080 so a person covers the same FRACTION of taller frames --
+# the same scene filmed at 4K doubles the person's pixel height): spans
+# the MOT16 pedestrian range; each anchor of each yolo head aims at one
+# rung so the planted detections carry realistic crop geometry instead of
+# exp(N(0,1)) anchor noise (see plant_box_prior)
 BOX_PRIOR_HEIGHTS = (120.0, 150.0, 185.0, 225.0, 270.0)
 BOX_PRIOR_ASPECT = 0.41  # w/h, Market-1501 crop aspect
 
@@ -59,6 +61,7 @@ def plant_box_prior(raw, plan, frame_hw, heights=BOX_PRIOR_HEIGHTS,
     In-place on the raw darknet params; returns them."""
     size = plan.img_size
     scale = size / float(max(frame_hw))  # frame px -> letterbox px
+    scale *= frame_hw[0] / 1080.0  # ladder is calibrated at 1080p
     for g, head in enumerate(plan.heads):
         conv_idx = head.module_index - 1
         layer = raw[conv_idx]

@@ -30,7 +30,7 @@ def _setup():
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
-def bn_weights_and_frames(model, img_size, k, s, hw, target):
+def bn_weights_and_frames(model, img_size, k, s, hw, target, box_prior=True):
     import jax
     import jax.numpy as jnp
 
@@ -56,6 +56,10 @@ def bn_weights_and_frames(model, img_size, k, s, hw, target):
     xs = jax.vmap(lambda f: letterbox(f, img_size))(frames[0])
     new_stats = jax.device_get(capture(t_params, t_stats, xs))
     raw = train_params_to_raw(t_params, {**t_stats, **new_stats}, plan.defs())
+    if box_prior:  # same MOT-person geometry as the headline bench
+        from bench import plant_box_prior
+
+        raw = plant_box_prior(raw, plan, hw)
     det_params = jax.tree_util.tree_map(
         jnp.asarray, W.fold_inference_params(raw, plan.defs()))
 

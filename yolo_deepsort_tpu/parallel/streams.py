@@ -421,9 +421,13 @@ class BucketedScannedStep:
         windows: Optional[Tuple[Tuple[int, int], ...]] = (
             (160, 96), (320, 192), (640, 384),
         ),
-        use_pallas_crops: bool = False,
+        use_pallas_crops: Optional[bool] = None,  # None = auto by backend
     ):
         h, w = frame_hw
+        if use_pallas_crops is None:
+            from ..ops.pallas_crops import use_pallas_crops_default
+
+            use_pallas_crops = use_pallas_crops_default()
         self._detect = make_scanned_detect_stage(
             plan, det_cfg, trk_cfg, frame_hw, compute_dtype=compute_dtype,
             use_pallas_letterbox=use_pallas_letterbox,
@@ -511,7 +515,7 @@ def make_scanned_step_bucketed(
     windows: Optional[Tuple[Tuple[int, int], ...]] = (
         (160, 96), (320, 192), (640, 384),
     ),
-    use_pallas_crops: bool = False,
+    use_pallas_crops: Optional[bool] = None,  # None = auto by backend
 ) -> BucketedScannedStep:
     return BucketedScannedStep(
         plan, det_cfg, trk_cfg, frame_hw, buckets=buckets,
