@@ -345,6 +345,63 @@ def test_window_ladder_selection():
     assert none_step._windows == ((100, 200),)
 
 
+def test_sharded_detection_train_matches_single_device():
+    """Detector training is sharding-agnostic by construction: BN uses the
+    GLOBAL batch mean (a jnp.mean over the batch axis that GSPMD turns into
+    a cross-device reduction = sync-BN) and the loss reduces globally, so a
+    dp-sharded step must reproduce the single-device step exactly up to
+    float reassociation. This is the detector-side counterpart of the ReID
+    dp test above (SURVEY.md section 2.2 scale-out mandate)."""
+    import optax
+
+    from yolo_deepsort_tpu.train.yolo_cli import (
+        make_detection_train_step,
+        raw_params_to_train,
+    )
+
+    n = len(jax.devices())
+    plan = build_network(yolov3_tiny(img_size=96))
+    raw = W.random_raw_params(plan.defs(), seed=2)
+    params, stats = raw_params_to_train(raw, plan.defs())
+    tx = optax.sgd(1e-3)
+    opt_state = tx.init(params)
+    step = jax.jit(make_detection_train_step(plan, tx))
+
+    rng = np.random.default_rng(4)
+    imgs = rng.normal(size=(n, 96, 96, 3)).astype(np.float32)
+    targets = np.zeros((2 * n, 6), np.float32)
+    tmask = np.zeros(2 * n, bool)
+    for i in range(n):  # one object per image, varying geometry
+        targets[i] = [i, i % 3, 0.3 + 0.04 * i, 0.5, 0.2, 0.3]
+        tmask[i] = True
+
+    p1, o1, s1, loss1, _ = step(params, opt_state, stats,
+                                imgs, targets, tmask)
+
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    shard = NamedSharding(mesh, P("dp"))
+    rep = NamedSharding(mesh, P())
+    params_s = jax.device_put(params, rep)
+    stats_s = jax.device_put(stats, rep)
+    opt_s = jax.device_put(opt_state, rep)
+    p2, o2, s2, loss2, _ = step(
+        params_s, opt_s, stats_s,
+        jax.device_put(jnp.asarray(imgs), shard),
+        jax.device_put(jnp.asarray(targets), shard),
+        jax.device_put(jnp.asarray(tmask), shard),
+    )
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1),
+                    jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_cross_camera_gallery_match():
     """BASELINE config 5: a detection on one chip re-identifies against a
     confirmed track living on ANOTHER chip via the all-gathered gallery."""
