@@ -66,6 +66,49 @@ random=1
 """
 
 
+def test_detection_training_learns(tmp_path):
+    """Overfit one fixed batch: 80 optimizer steps must cut the total YOLO
+    loss by >10x (measured: 103 -> 7.6 at adam 5e-3). This is the
+    end-to-end 'the gradients are right' check the per-term oracle tests
+    (test_yolo_loss) cannot provide."""
+    import jax
+    import optax
+
+    from yolo_deepsort_tpu.cfg import parse_model_config
+    from yolo_deepsort_tpu.models.darknet import build_network
+    from yolo_deepsort_tpu.models.weights import random_raw_params
+    from yolo_deepsort_tpu.train.yolo_cli import (
+        make_detection_train_step,
+        raw_params_to_train,
+    )
+
+    cfg = tmp_path / "tiny.cfg"
+    cfg.write_text(TINY_CFG)
+    plan = build_network(parse_model_config(str(cfg)))
+    raw = random_raw_params(plan.defs())
+    params, stats = raw_params_to_train(raw, plan.defs())
+    tx = optax.adam(5e-3)
+    opt_state = tx.init(params)
+    step = jax.jit(make_detection_train_step(plan, tx))
+
+    rng = np.random.default_rng(7)
+    imgs = rng.normal(size=(4, 64, 64, 3)).astype(np.float32)
+    targets = np.zeros((8, 6), np.float32)
+    tmask = np.zeros(8, bool)
+    for i in range(4):  # one object per image
+        targets[i] = [i, i % 2, 0.25 + 0.15 * i, 0.5, 0.25, 0.25]
+        tmask[i] = True
+
+    losses = []
+    for _ in range(80):
+        params, opt_state, stats, loss, metrics = step(
+            params, opt_state, stats, imgs, targets, tmask
+        )
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.1 * losses[0], (losses[0], losses[-1])
+
+
 def test_resume_restores_trainable_state(tmp_path):
     """save_pytree -> load_pytree -> restore_like -> one more train step.
 

@@ -78,6 +78,9 @@ def main():
     xs = jax.vmap(lambda f: letterbox(f, args.img_size))(frames[0])
     new_stats = jax.device_get(capture(t_params, t_stats, xs))
     raw = train_params_to_raw(t_params, {**t_stats, **new_stats}, plan.defs())
+    from bench import plant_box_prior  # same MOT-person geometry as bench.py
+
+    raw = plant_box_prior(raw, plan, hw)
     det_params = jax.tree_util.tree_map(
         jnp.asarray, W.fold_inference_params(raw, plan.defs()))
     reid_params = jax.tree_util.tree_map(jnp.asarray, random_reid_params(0))
@@ -117,14 +120,22 @@ def main():
     jax.block_until_ready(b7)
     dt_detect = (time.perf_counter() - t0) / args.steps * 1e3
     n_frames = k * s
+    mc = np.asarray(mc)
     out = {"detect_ms_per_chunk": round(dt_detect, 1),
-           "max_count": int(mc), "chunk_frames": n_frames}
+           "max_count": int(mc[0]), "max_crop_hw": mc[1:].tolist(),
+           "chunk_frames": n_frames}
 
-    # --- track stage per capacity, state chained + saturating warmup
+    # --- track stage per capacity x crop-window variant, state chained +
+    # saturating warmup (window (320,192) + Pallas kernel = the production
+    # configuration the bucketed step selects under this load)
+    variants = [("", dict(crop_window=None)),
+                ("_win", dict(crop_window=(320, 192), use_pallas_crops=False)),
+                ("_plwin", dict(crop_window=(320, 192), use_pallas_crops=True))]
     for cap in (int(c) for c in args.caps.split(",")):
+      for suffix, kw in variants:
         track = make_scanned_track_stage(
             det_cfg, trk_cfg, hw, cap, compute_dtype=jnp.bfloat16,
-            donate_state=False)
+            donate_state=False, **kw)
         states = init_stream_states(trk_cfg, s)
         for _ in range(3):
             states, (outs, emit) = track(reid_params, states, frames, b7, m)
@@ -135,8 +146,8 @@ def main():
         jax.block_until_ready(outs)
         dt = (time.perf_counter() - t0) / args.steps * 1e3
         tracks = float(jnp.mean(jnp.sum(states.state == 2, axis=-1)))
-        out[f"track_ms_cap{cap}"] = round(dt, 1)
-        out[f"tracks_cap{cap}"] = round(tracks, 1)
+        out[f"track_ms_cap{cap}{suffix}"] = round(dt, 1)
+        out[f"tracks_cap{cap}{suffix}"] = round(tracks, 1)
 
     out["note"] = ("per-frame ms = chunk ms / chunk_frames; detect+track at "
                    "the selected bucket approximates the bucketed step")

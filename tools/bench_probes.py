@@ -615,7 +615,8 @@ def main():
             b7, m, mc = detect(det_params, frames)
             counts = np.asarray(jnp.sum(m, axis=-1)).reshape(k, s)
             out["per_stream_counts"] = counts[0].tolist()
-            out["chunk_max"] = int(mc)
+            out["chunk_max"] = int(np.asarray(mc)[0])
+            out["max_crop_hw"] = np.asarray(mc)[1:].tolist()
             out["mean"] = round(float(counts.mean()), 1)
         else:  # nms-share
             size = args.img_size
@@ -643,11 +644,11 @@ def main():
                 return detect(dp, fr)
 
             b7, m, mc = full_detect(det_params, frames)
-            int(mc)
+            int(np.asarray(mc)[0])
             t0 = time.perf_counter()
             for _ in range(args.steps):
                 b7, m, mc = full_detect(det_params, frames)
-            int(mc)
+            int(np.asarray(mc)[0])
             out["detect_ms"] = round(
                 (time.perf_counter() - t0) / args.steps * 1e3, 1)
             out["nms_share_ms"] = round(
