@@ -58,13 +58,17 @@ def plant_box_prior(raw, plan, frame_hw, heights=BOX_PRIOR_HEIGHTS,
     converted through the letterbox scale) and width aspect*height. Box
     CENTERS still come from the live sigmoid(tx/ty) decode, objectness and
     class channels stay untouched (threshold calibration is unaffected).
-    In-place on the raw darknet params; returns them."""
+    Copies the head arrays it rewrites (raw params from train_params_to_raw
+    ALIAS the training params' buffers -- mutating through them would
+    corrupt the caller's source); returns the same dict."""
     size = plan.img_size
     scale = size / float(max(frame_hw))  # frame px -> letterbox px
     scale *= frame_hw[0] / 1080.0  # ladder is calibrated at 1080p
     for g, head in enumerate(plan.heads):
         conv_idx = head.module_index - 1
         layer = raw[conv_idx]
+        layer["conv_weight"] = np.array(layer["conv_weight"])
+        layer["conv_bias"] = np.array(layer["conv_bias"])
         per = 5 + head.num_classes
         for a, (pw, ph) in enumerate(head.anchors):
             h_t = heights[(3 * g + a) % len(heights)] * scale
@@ -112,9 +116,10 @@ def main():
                         "into DIR (host-side events only through the axon "
                         "tunnel; full xplane on local TPUs)")
     p.add_argument("--no-pallas-letterbox", action="store_true",
-                   help="disable the fused Pallas letterbox kernel (on by "
-                        "default; falls back to XLA automatically if the "
-                        "kernel fails to compile)")
+                   help="disable the Pallas preprocessing kernels (fused "
+                        "letterbox AND windowed crops; both on by default, "
+                        "with automatic XLA fallback if a kernel fails to "
+                        "compile)")
     args = p.parse_args()
 
     # persistent compilation cache: the fused-step compile through the axon
@@ -243,7 +248,10 @@ def main():
                 buckets=buckets, compute_dtype=compute_dtype,
                 use_pallas_letterbox=use_pallas_lb,
                 conf_thres_per_stream=conf_vec,
-                use_pallas_crops=use_pallas_lb,
+                # None = auto by backend + YDT_CROPS_PALLAS override; the
+                # --no-pallas-letterbox escape hatch (and the warmup
+                # fallback) disables both Pallas kernels together
+                use_pallas_crops=None if use_pallas_lb else False,
             )
         if k > 1:
             return make_scanned_step(

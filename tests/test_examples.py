@@ -15,7 +15,11 @@ from PIL import Image  # noqa: E402
 ENV = dict(os.environ, JAX_PLATFORMS="cpu")
 
 
-def _run(args, timeout=420):
+def _run(args, timeout=900):
+    # 900s: these are subprocess smoke tests on a single CPU core; the
+    # per-frame jitted step EXECUTES in minutes there (tracker capacity
+    # loops dominate), and concurrent TPU probe processes steal the core.
+    # Value is CLI correctness, not speed.
     return subprocess.run(
         [sys.executable] + args, capture_output=True, text=True,
         cwd="/root/repo", env=ENV, timeout=timeout,

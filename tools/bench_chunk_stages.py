@@ -128,9 +128,12 @@ def main():
     # --- track stage per capacity x crop-window variant, state chained +
     # saturating warmup (window (320,192) + Pallas kernel = the production
     # configuration the bucketed step selects under this load)
+    # window rung matching what the bucketed step selects for this frame
+    # size under the planted load (the box prior scales with frame_h)
+    win = (320, 192) if args.frame_h <= 1080 else (640, 384)
     variants = [("", dict(crop_window=None)),
-                ("_win", dict(crop_window=(320, 192), use_pallas_crops=False)),
-                ("_plwin", dict(crop_window=(320, 192), use_pallas_crops=True))]
+                ("_win", dict(crop_window=win, use_pallas_crops=False)),
+                ("_plwin", dict(crop_window=win, use_pallas_crops=True))]
     for cap in (int(c) for c in args.caps.split(",")):
       for suffix, kw in variants:
         track = make_scanned_track_stage(

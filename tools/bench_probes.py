@@ -391,7 +391,7 @@ def main():
                 c, rb = run(frames2, boxes, jnp.float32(0))
                 if win is None:
                     ref = np.asarray(c[:2], np.float32)
-                elif win == (320, 192):
+                elif win == (320, 192) and ref is not None:
                     out["max_diff_vs_dense"] = float(
                         np.abs(np.asarray(c[:2], np.float32) - ref).max())
                 bump = rb * 1e-30

@@ -52,10 +52,11 @@ def _pad_window(win_h: int, win_w: int, h: int, w: int):
 
 
 def pallas_crops_supported(h: int, w: int, win_h: int, win_w: int) -> bool:
-    if h % 8 != 0 or w % 128 != 0:
-        return False
-    wh, ww = _pad_window(win_h, win_w, h, w)
-    return wh >= min(win_h + 1, h) and ww >= min(win_w + 1, w)
+    """Frame tiling is the only gate: _pad_window clamps to the frame, and
+    a frame-clamped window still covers every in-frame box, so any window
+    size works once H/W are tile-divisible."""
+    del win_h, win_w
+    return h % 8 == 0 and w % 128 == 0
 
 
 def use_pallas_crops_default() -> bool:

@@ -441,8 +441,12 @@ class BucketedScannedStep:
         ladder = [(min(wh, h), min(ww, w)) for wh, ww in (windows or ())]
         self._windows = tuple(sorted(set(ladder) | {(h, w)}))
         def _mk(cap, win):
+            # the Pallas crop kernel computes in bf16 (the production
+            # dtype); f32-configured steps stay on the XLA windowed path so
+            # compute_dtype is honored everywhere
             pallas_ok = False
-            if use_pallas_crops and win is not None and win != (h, w):
+            if (use_pallas_crops and win is not None and win != (h, w)
+                    and compute_dtype == jnp.bfloat16):
                 from ..ops.pallas_crops import pallas_crops_supported
 
                 pallas_ok = pallas_crops_supported(h, w, win[0], win[1])
