@@ -419,7 +419,7 @@ class BucketedScannedStep:
         use_pallas_letterbox: bool = False,
         conf_thres_per_stream=None,
         windows: Optional[Tuple[Tuple[int, int], ...]] = (
-            (160, 96), (320, 192), (640, 384),
+            (160, 96), (240, 128), (320, 192), (640, 384),
         ),
         use_pallas_crops: Optional[bool] = None,  # None = auto by backend
     ):
@@ -517,7 +517,7 @@ def make_scanned_step_bucketed(
     use_pallas_letterbox: bool = False,
     conf_thres_per_stream=None,
     windows: Optional[Tuple[Tuple[int, int], ...]] = (
-        (160, 96), (320, 192), (640, 384),
+        (160, 96), (240, 128), (320, 192), (640, 384),
     ),
     use_pallas_crops: Optional[bool] = None,  # None = auto by backend
 ) -> BucketedScannedStep:
