@@ -76,8 +76,6 @@ def use_pallas_crops_default() -> bool:
         return False
 
 
-@partial(jax.jit,
-         static_argnames=("win_h", "win_w", "crops_per_program", "interpret"))
 def pallas_crop_and_normalize_batch(
     frames_rgb: jnp.ndarray,  # (B, H, W, 3) uint8
     boxes_xyxy: jnp.ndarray,  # (B, D, 4) float, clipped to the frame
@@ -90,6 +88,37 @@ def pallas_crop_and_normalize_batch(
 
     Matches crop_and_normalize_windowed(..., compute_dtype=bfloat16) up to
     bf16 accumulation-order differences (the production compute dtype).
+
+    Dispatches between the planar kernel (default; pays a NHWC->planar
+    relayout of the frame batch, which the production graph absorbs
+    cheaply) and the interleaved-RGB kernel (YDT_CROPS_LAYOUT=interleaved;
+    a twice-measured NEGATIVE kept for reproducible A/B -- its in-kernel
+    channel-blocked weight construction costs more than the transpose it
+    avoids: production track stage 142.3 vs 132.9 ms/chunk at cap 36, see
+    docs/DESIGN.md)."""
+    import os
+
+    if os.environ.get("YDT_CROPS_LAYOUT", "planar") == "interleaved":
+        return _pallas_crops_interleaved(
+            frames_rgb, boxes_xyxy, win_h, win_w,
+            crops_per_program=crops_per_program, interpret=interpret)
+    return _pallas_crops_planar(
+        frames_rgb, boxes_xyxy, win_h, win_w,
+        crops_per_program=crops_per_program, interpret=interpret)
+
+
+@partial(jax.jit,
+         static_argnames=("win_h", "win_w", "crops_per_program", "interpret"))
+def _pallas_crops_planar(
+    frames_rgb: jnp.ndarray,
+    boxes_xyxy: jnp.ndarray,
+    win_h: int,
+    win_w: int,
+    crops_per_program: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Planar-layout kernel: one DMA per channel per box from a (B, 3, H, W)
+    transpose of the frames.
 
     ``crops_per_program`` batches several boxes into one grid cell: the
     per-program dispatch overhead dominates at one ~50 MMAC box per cell
@@ -206,3 +235,149 @@ def pallas_crop_and_normalize_batch(
         interpret=interpret,
     )(scalars, frames_planar)
     return jnp.transpose(out[:, :d], (0, 1, 3, 4, 2))  # (B, D, 128, 64, 3)
+
+
+@partial(jax.jit,
+         static_argnames=("win_h", "win_w", "crops_per_program", "interpret"))
+def _pallas_crops_interleaved(
+    frames_rgb: jnp.ndarray,
+    boxes_xyxy: jnp.ndarray,
+    win_h: int,
+    win_w: int,
+    crops_per_program: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Interleaved-RGB kernel: consumes the frame viewed as (B, H, W*3)
+    uint8 (free trailing reshape -- no planar transpose), one DMA per box.
+    The X-resample weight matrix is CHANNEL-BLOCKED --
+    Wxc[w*3+c, x*3+c'] = wx[x, w] * [c == c'] -- so the interleaved lanes
+    resample without deinterleaving, and the (128, 64*3) result IS the
+    final NHWC crop (no output transpose either). ~10 ms/chunk more
+    in-kernel work than the planar variant (bigger X matmul + in-kernel
+    Wxc construction) but skips the production graph's ~50 ms relayout."""
+    b, h, w = (int(frames_rgb.shape[0]), int(frames_rgb.shape[1]),
+               int(frames_rgb.shape[2]))
+    d = int(boxes_xyxy.shape[1])
+    g = max(1, min(int(crops_per_program), d))
+    dp = (d + g - 1) // g * g
+    if dp != d:  # pad to a g-multiple with degenerate (1px) boxes
+        boxes_xyxy = jnp.concatenate(
+            [boxes_xyxy, jnp.zeros((b, dp - d, 4), boxes_xyxy.dtype)], axis=1
+        )
+    wh, ww = _pad_window(win_h, win_w, h, w)
+    ww3 = ww * 3  # ww is a 128-multiple, so ww3 is a 384-multiple
+    cw3 = CROP_W * 3
+    assert pallas_crops_supported(h, w, win_h, win_w), (h, w, win_h, win_w)
+
+    x1, y1, x2, y2 = crop_window_bounds(
+        boxes_xyxy.reshape(b * dp, 4), h, w
+    )
+    oy = (jnp.clip(y1, 0, h - wh) // 8) * 8
+    ox = (jnp.clip(x1, 0, w - ww) // 128) * 128
+    # (6, B*D): box-count axis on the SMEM lane dim (see planar kernel)
+    scalars = jnp.stack([y1, y2, x1, x2, oy, ox], axis=0)
+
+    frames_flat = frames_rgb.reshape(b, h, w * 3)  # interleaved view, free
+
+    def kernel(scal_ref, frame_hbm, out_ref, win_vmem, sems):
+        bi = pl.program_id(0)
+        dj = pl.program_id(1)
+
+        def origins(gi):
+            flat = (bi * dp + dj * g) + gi
+            oy_s = pl.multiple_of(scal_ref[4, flat], 8)
+            ox3 = pl.multiple_of(scal_ref[5, flat] * 3, 384)
+            return oy_s, ox3
+
+        for gi in range(g):  # start every window DMA up front
+            oy_s, ox3 = origins(gi)
+            pltpu.make_async_copy(
+                frame_hbm.at[bi, pl.ds(oy_s, wh), pl.ds(ox3, ww3)],
+                win_vmem.at[gi],
+                sems.at[gi],
+            ).start()
+
+        # channel-lane selectors for the affine, shared across the group
+        lane_c = jax.lax.broadcasted_iota(jnp.int32, (CROP_H, cw3), 1) % 3
+        inv_std = [1.0 / float(REID_STD[c]) for c in range(3)]
+        scale = jnp.where(
+            lane_c == 0, inv_std[0],
+            jnp.where(lane_c == 1, inv_std[1], inv_std[2]))
+        bias = jnp.where(
+            lane_c == 0, float(REID_MEAN[0]) * inv_std[0],
+            jnp.where(lane_c == 1, float(REID_MEAN[1]) * inv_std[1],
+                      float(REID_MEAN[2]) * inv_std[2]))
+
+        for gi in range(g):
+            flat = (bi * dp + dj * g) + gi
+            oy_s, ox3 = origins(gi)
+            y1f = scal_ref[0, flat].astype(jnp.float32)
+            y2f = scal_ref[1, flat].astype(jnp.float32)
+            x1f = scal_ref[2, flat].astype(jnp.float32)
+            x2f = scal_ref[3, flat].astype(jnp.float32)
+            oyf = oy_s.astype(jnp.float32)
+            oxf = scal_ref[5, flat].astype(jnp.float32)
+
+            # Y weights: == ops/crops.py _interp_matrix in window coords
+            r = jax.lax.broadcasted_iota(
+                jnp.int32, (CROP_H, wh), 0).astype(jnp.float32)
+            k = jax.lax.broadcasted_iota(
+                jnp.int32, (CROP_H, wh), 1).astype(jnp.float32)
+            cy = y1f + (r + 0.5) / CROP_H * (y2f - y1f) - 0.5
+            cy = jnp.clip(cy, y1f, jnp.maximum(y2f - 1.0, y1f))
+            wy = jnp.clip(1.0 - jnp.abs(cy - (k + oyf)), 0.0, 1.0)
+            wy = wy / jnp.maximum(jnp.sum(wy, axis=1, keepdims=True), 1e-6)
+            wy = (wy / 255.0).astype(jnp.bfloat16)
+
+            # channel-blocked X weights on interleaved lanes
+            j = jax.lax.broadcasted_iota(jnp.int32, (ww3, cw3), 0)
+            o = jax.lax.broadcasted_iota(jnp.int32, (ww3, cw3), 1)
+            w_src = (j // 3).astype(jnp.float32)
+            x_out = (o // 3).astype(jnp.float32)
+            cx = x1f + (x_out + 0.5) / CROP_W * (x2f - x1f) - 0.5
+            cx = jnp.clip(cx, x1f, jnp.maximum(x2f - 1.0, x1f))
+            wgt = jnp.clip(1.0 - jnp.abs(cx - (w_src + oxf)), 0.0, 1.0)
+            wgt = jnp.where((j % 3) == (o % 3), wgt, 0.0)
+            wxc = (wgt / jnp.maximum(
+                jnp.sum(wgt, axis=0, keepdims=True), 1e-6)
+            ).astype(jnp.bfloat16)
+
+            pltpu.make_async_copy(
+                frame_hbm.at[bi, pl.ds(oy_s, wh), pl.ds(ox3, ww3)],
+                win_vmem.at[gi],
+                sems.at[gi],
+            ).wait()
+            band = win_vmem[gi].astype(jnp.int32).astype(
+                jnp.float32).astype(jnp.bfloat16)
+            rows = jax.lax.dot_general(
+                wy, band, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)  # (CROP_H, ww3) interleaved
+            crop = jax.lax.dot_general(
+                rows, wxc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (CROP_H, CROP_W*3) interleaved
+            out_ref[0, gi] = crop * scale - bias
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, dp // g),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # interleaved frames in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, g, CROP_H, cw3), lambda bi, dj, scal: (bi, dj, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((g, wh, ww3), jnp.uint8),
+            pltpu.SemaphoreType.DMA((g,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, dp, CROP_H, cw3), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(scalars, frames_flat)
+    return out[:, :d].reshape(b, d, CROP_H, CROP_W, 3)
