@@ -36,23 +36,18 @@ def test_plant_box_prior_decodes_target_sizes():
     # with the tw/th weight rows zeroed the decode emits EXACT target
     # sizes per anchor; check every head/anchor block against its rung
     scale = size / max(frame_hw) * (frame_hw[0] / 1080.0)
-    offset = 0
     for g, head in enumerate(plan.heads):
-        # block sizes: anchors-major over the grid (ops/decode.py layout)
-        n_head_boxes = 0
         for a, _ in enumerate(head.anchors):
             h_t = BOX_PRIOR_HEIGHTS[(3 * g + a) % len(BOX_PRIOR_HEIGHTS)]
             w_t = BOX_PRIOR_ASPECT * h_t * scale
             h_t = h_t * scale
-            n_head_boxes += 1
-            # find this anchor's boxes: all share identical (w, h)
+            # this anchor's boxes all share the identical target (w, h)
             ws = decoded[0, :, 2]
             hs = decoded[0, :, 3]
             match = (np.abs(ws - w_t) < 0.05 * w_t) & (
                 np.abs(hs - h_t) < 0.05 * h_t
             )
             assert match.any(), (g, a, w_t, h_t)
-        offset += n_head_boxes
     # and nothing decodes frame-sized: all boxes stay in the person range
     max_h_lb = max(BOX_PRIOR_HEIGHTS) * scale
     assert decoded[0, :, 3].max() <= max_h_lb * 1.05

@@ -37,6 +37,22 @@ def test_pallas_crops_match_windowed_xla():
     np.testing.assert_allclose(got, want, atol=0.06)
 
 
+def test_pallas_crops_interleaved_layout_matches(monkeypatch):
+    """The interleaved-RGB variant (kept for reproducible A/B re-measurement
+    on future hardware, YDT_CROPS_LAYOUT=interleaved) must stay numerically
+    equivalent to the default planar kernel."""
+    rng = np.random.default_rng(4)
+    b, d, h, w = 1, 4, 64, 128
+    frames = rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8)
+    boxes = _boxes(rng, b, d, h, w, max_w=40, max_h=30)
+    planar = np.asarray(pallas_crop_and_normalize_batch(
+        frames, boxes, 32, 40, interpret=True))
+    monkeypatch.setenv("YDT_CROPS_LAYOUT", "interleaved")
+    inter = np.asarray(pallas_crop_and_normalize_batch(
+        frames, boxes, 32, 40, interpret=True))
+    np.testing.assert_allclose(inter, planar, atol=0.06)
+
+
 def test_pallas_crops_pad_to_crops_per_program():
     """d not divisible by crops_per_program pads internally and slices back."""
     rng = np.random.default_rng(3)

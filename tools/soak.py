@@ -36,8 +36,9 @@ def main():
                         "readback of the state)")
     args = p.parse_args()
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          "/root/repo/.jax_cache")
+                          os.path.join(repo, ".jax_cache"))
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
@@ -98,7 +99,8 @@ def main():
     nxt = step.detect(det_params, frames)
     for i in range(args.chunks):
         cur = nxt
-        nxt = step.detect(det_params, frames)
+        if i + 1 < args.chunks:  # no dead detect after the final chunk
+            nxt = step.detect(det_params, frames)
         states, (outputs, emit) = step.track(reid_params, states, cur)
         if (i + 1) % args.check_every == 0:
             finite, tracks, over_budget, _ = jax.device_get(
@@ -113,9 +115,12 @@ def main():
                 failures.append(
                     f"chunk {i}: track population drifted "
                     f"{base_tracks:.1f} -> {tracks:.1f}")
-    out_np = np.asarray(outputs)
-    if not np.isfinite(out_np[np.asarray(emit)]).all():
-        failures.append("final chunk: non-finite outputs")
+    # outputs are int32 rows; NaN state would surface as huge cast values,
+    # so bound-check the emitted boxes instead of isfinite (always true on
+    # ints)
+    out_np = np.asarray(outputs)[np.asarray(emit)]
+    if out_np.size and (np.abs(out_np[:, :4]) > 4 * max(hw)).any():
+        failures.append("final chunk: emitted boxes far outside the frame")
     dt = time.perf_counter() - t0
 
     id_growth = int(jnp.max(states.next_id)) - base_next_id
@@ -127,9 +132,12 @@ def main():
         "chunks": args.chunks,
         "frames": frames_total,
         "minutes": round(dt / 60, 2),
-        "tracks_mean": round(float(np.mean(track_counts)), 1),
-        "tracks_min": round(float(np.min(track_counts)), 1),
-        "tracks_max": round(float(np.max(track_counts)), 1),
+        "tracks_mean": (round(float(np.mean(track_counts)), 1)
+                        if track_counts else None),
+        "tracks_min": (round(float(np.min(track_counts)), 1)
+                       if track_counts else None),
+        "tracks_max": (round(float(np.max(track_counts)), 1)
+                       if track_counts else None),
         "id_growth_per_chunk": round(id_growth / args.chunks, 2),
         "failures": failures,
         "ok": not failures,
