@@ -31,6 +31,8 @@ def main():
     p.add_argument("--model", default="yolov3")
     p.add_argument("--img-size", type=int, default=416)
     p.add_argument("--target-dets", type=int, default=32)
+    p.add_argument("--frame-h", type=int, default=1080)
+    p.add_argument("--frame-w", type=int, default=1920)
     p.add_argument("--check-every", type=int, default=10,
                    help="invariant-check cadence (each check is a host "
                         "readback of the state)")
@@ -54,7 +56,7 @@ def main():
     )
     from yolo_deepsort_tpu.tracking.tracker import STATE_CONFIRMED
 
-    k, s, hw = args.scan, args.streams, (1080, 1920)
+    k, s, hw = args.scan, args.streams, (args.frame_h, args.frame_w)
     plan, det_params, frames, conf_vec = bn_weights_and_frames(
         args.model, args.img_size, k, s, hw, args.target_dets)
     reid_params = jax.tree_util.tree_map(
