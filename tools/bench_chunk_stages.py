@@ -134,6 +134,12 @@ def main():
     variants = [("", dict(crop_window=None)),
                 ("_win", dict(crop_window=win, use_pallas_crops=False)),
                 ("_plwin", dict(crop_window=win, use_pallas_crops=True))]
+    from yolo_deepsort_tpu.ops.pallas_crops import pallas_crops_supported
+    if not pallas_crops_supported(args.frame_h, args.frame_w, *win):
+        # non-tile-divisible frames (e.g. 1079) would hit a bare assert
+        # inside the kernel; record the variant as unsupported instead
+        variants = variants[:-1]
+        out["track_plwin"] = "skipped (pallas_crops unsupported for shape)"
     for cap in (int(c) for c in args.caps.split(",")):
       for suffix, kw in variants:
         track = make_scanned_track_stage(

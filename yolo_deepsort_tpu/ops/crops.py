@@ -33,12 +33,20 @@ REID_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 CROP_H, CROP_W = 128, 64
 
 
-def _interp_matrix(starts, ends, limit: int, out_size: int, dtype):
+def _interp_matrix(starts, ends, limit: int, out_size: int, dtype,
+                   offsets=None):
     """(D, out_size, limit) triangle-kernel interpolation weights.
 
     Row r of matrix d holds the bilinear weights for output position r of
     box d, sampling source coords clamped to [start, end-1] (integer crop
-    window semantics: no bleed past the slice, replicate at the edge)."""
+    window semantics: no bleed past the slice, replicate at the edge).
+
+    ``offsets`` (D,) int shifts the tap positions: column j of matrix d
+    weights source pixel ``offsets[d] + j``. The windowed resampler passes
+    its integer window origins here so coords and weights are computed in
+    ABSOLUTE frame coordinates with the exact same f32 ops as the dense
+    path -- fl(y1+t) vs fl((y1-oy)+t) can round differently, so shifting
+    the coords instead of the taps would break bit-exactness with dense."""
     starts = starts.astype(jnp.float32)
     span = (ends - starts).astype(jnp.float32)
     r = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) / out_size  # (O,)
@@ -47,7 +55,11 @@ def _interp_matrix(starts, ends, limit: int, out_size: int, dtype):
         coords, starts[:, None], jnp.maximum(ends[:, None] - 1.0, starts[:, None])
     )
     k = jnp.arange(limit, dtype=jnp.float32)  # (L,)
-    w = jnp.clip(1.0 - jnp.abs(coords[:, :, None] - k[None, None, :]), 0.0, 1.0)
+    if offsets is not None:
+        k = offsets.astype(jnp.float32)[:, None, None] + k[None, None, :]
+    else:
+        k = k[None, None, :]
+    w = jnp.clip(1.0 - jnp.abs(coords[:, :, None] - k), 0.0, 1.0)
     # normalize: at clamped edges only one tap may fall in range
     w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-6)
     return w.astype(dtype)
@@ -130,9 +142,10 @@ def crop_and_normalize_windowed(
         lambda yo, xo: jax.lax.dynamic_slice(img, (yo, xo, 0), (win_h, win_w, 3))
     )(oy, ox)  # (D, win_h, win_w, 3)
 
-    # interpolation weights in window-relative coordinates
-    wy = _interp_matrix(y1 - oy, y2 - oy, win_h, CROP_H, compute_dtype)
-    wx = _interp_matrix(x1 - ox, x2 - ox, win_w, CROP_W, compute_dtype)
+    # absolute-coordinate weights with window-offset taps: bit-identical
+    # math to the dense path (see _interp_matrix's offsets note)
+    wy = _interp_matrix(y1, y2, win_h, CROP_H, compute_dtype, offsets=oy)
+    wx = _interp_matrix(x1, x2, win_w, CROP_W, compute_dtype, offsets=ox)
 
     winc = windows.astype(compute_dtype)
     tmp = jnp.einsum(

@@ -319,6 +319,14 @@ def make_scanned_track_stage(
     cfg_c = dataclasses.replace(trk_cfg, max_dets=cap)
     if crop_window is not None and (crop_window[0] >= h and crop_window[1] >= w):
         crop_window = None  # full-frame window degenerates to the dense path
+    if use_pallas_crops and compute_dtype != jnp.bfloat16:
+        # the Pallas crop kernel is fixed bf16; honoring any other
+        # compute_dtype silently would hand the caller bf16 crops
+        raise ValueError(
+            "use_pallas_crops=True requires compute_dtype=bfloat16 "
+            f"(got {jnp.dtype(compute_dtype).name}); use the XLA windowed "
+            "path for other dtypes"
+        )
 
     def track(reid_params, states, frames, boxes7, mask):
         k, s = frames.shape[0], frames.shape[1]
@@ -440,13 +448,13 @@ class BucketedScannedStep:
         # window ladder, clamped to the frame; (h, w) = dense full-frame path
         ladder = [(min(wh, h), min(ww, w)) for wh, ww in (windows or ())]
         self._windows = tuple(sorted(set(ladder) | {(h, w)}))
-        def _mk(cap, win):
+        def _mk(cap, win, allow_pallas=True):
             # the Pallas crop kernel computes in bf16 (the production
             # dtype); f32-configured steps stay on the XLA windowed path so
             # compute_dtype is honored everywhere
             pallas_ok = False
-            if (use_pallas_crops and win is not None and win != (h, w)
-                    and compute_dtype == jnp.bfloat16):
+            if (allow_pallas and use_pallas_crops and win is not None
+                    and win != (h, w) and compute_dtype == jnp.bfloat16):
                 from ..ops.pallas_crops import pallas_crops_supported
 
                 pallas_ok = pallas_crops_supported(h, w, win[0], win[1])
@@ -459,6 +467,7 @@ class BucketedScannedStep:
 
         self._mk = _mk
         self._track = {}
+        self._compiled = set()  # (cap, win) variants that ran at least once
         self.last_bucket: Optional[int] = None
         self.last_max_count: Optional[int] = None
         self.last_window: Optional[Tuple[int, int]] = None
@@ -498,7 +507,22 @@ class BucketedScannedStep:
         fn = self._track.get((cap, win))
         if fn is None:
             fn = self._track[(cap, win)] = self._mk(cap, win)
-        return fn(reid_params, states, frames, boxes7, mask)
+        try:
+            return fn(reid_params, states, frames, boxes7, mask)
+        except Exception:
+            # A (bucket, window) variant first selected after warmup
+            # compiles lazily mid-serving; if its Pallas crop kernel fails
+            # to compile on this backend, rebuild the variant on the XLA
+            # windowed path instead of failing the serving step. Variants
+            # that already ran once are in the jit cache and never re-trace,
+            # so this retry only ever fires on a variant's first invocation.
+            if (cap, win) in self._compiled:
+                raise
+            fn = self._track[(cap, win)] = self._mk(cap, win,
+                                                    allow_pallas=False)
+            return fn(reid_params, states, frames, boxes7, mask)
+        finally:
+            self._compiled.add((cap, win))
 
     def __call__(self, det_params, reid_params, states, frames):
         return self.track(reid_params, states,
