@@ -371,6 +371,7 @@ def test_video_tracker_chunked_matches_per_frame(tiny_model):
         np.asarray(vt_b.state.next_id))
 
 
+@pytest.mark.slow
 def test_video_tracker_track_chunk_mode(tiny_model, tmp_path):
     """track(..., chunk=K): buffered chunked dispatch + per-frame tail,
     equal to the per-frame generator."""

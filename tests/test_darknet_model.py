@@ -160,6 +160,7 @@ def test_scale_x_y_decode():
     assert out[0, 0, 0] == pytest.approx(expected_x, rel=1e-5)
 
 
+@pytest.mark.slow
 def test_yolov4_full_arch_parity():
     """yolov4 (CSP routes, SPP maxpools, PAN up/down, mish, scale_x_y) at
     64x64 input with random weights: decoded detections must match the numpy

@@ -26,6 +26,7 @@ def _run(args, timeout=900):
     )
 
 
+@pytest.mark.slow
 def test_detect_image_example(tmp_path):
     img = tmp_path / "in.jpg"
     Image.fromarray(
@@ -38,6 +39,7 @@ def test_detect_image_example(tmp_path):
     assert out.exists()
 
 
+@pytest.mark.slow
 def test_detect_folder_example(tmp_path):
     d = tmp_path / "imgs"
     d.mkdir()
@@ -53,6 +55,7 @@ def test_detect_folder_example(tmp_path):
     assert len(list(out_dir.iterdir())) == 2
 
 
+@pytest.mark.slow
 def test_track_video_example(tmp_path):
     cv2 = pytest.importorskip("cv2")
     from yolo_deepsort_tpu.runtime.video import VideoWriter
@@ -69,6 +72,7 @@ def test_track_video_example(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
 
 
+@pytest.mark.slow
 def test_track_multicamera_example(tmp_path):
     cv2 = pytest.importorskip("cv2")
     from yolo_deepsort_tpu.runtime import native
@@ -91,6 +95,7 @@ def test_track_multicamera_example(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
 
 
+@pytest.mark.slow
 def test_make_demo_example(tmp_path):
     cv2 = pytest.importorskip("cv2")
     out = tmp_path / "demo.mp4"
@@ -98,3 +103,16 @@ def test_make_demo_example(tmp_path):
               "--width", "160", "--height", "120", "--objects", "2"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_example_clis_importable_fast():
+    """Default-tier stand-in for the full example runs (slow tier): every
+    example CLI parses --help in a subprocess, proving imports and arg
+    wiring without paying a JAX cold compile."""
+    import glob
+
+    clis = sorted(glob.glob("/root/repo/examples/*.py"))
+    assert clis
+    for cli in clis:
+        r = _run([cli, "--help"], timeout=120)
+        assert r.returncode == 0, f"{cli} --help failed:\n{r.stderr[-800:]}"

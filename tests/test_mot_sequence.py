@@ -36,6 +36,7 @@ def make_sequence(root, n_frames=12, h=240, w=320):
     (root / "det" / "det.txt").write_text("\n".join(det_rows))
 
 
+@pytest.mark.slow
 def test_sequence_eval_from_public_detections(tmp_path):
     seq = tmp_path / "SYN-01"
     make_sequence(seq)

@@ -19,6 +19,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_host_dryrun_cross_host_handoff():
     port = _free_port()
     env = dict(os.environ)

@@ -40,6 +40,7 @@ def small_net():
     return plan, det_params, reid_params
 
 
+@pytest.mark.slow
 def test_batched_step_equals_per_stream(small_net):
     """vmap over streams must equal running each stream separately."""
     plan, det_params, reid_params = small_net
@@ -86,6 +87,7 @@ def test_sharded_step_runs_on_virtual_mesh(small_net):
     assert outputs.sharding.spec == P("stream")
 
 
+@pytest.mark.slow
 def test_reid_train_step_learns():
     """A few SGD steps on a toy 2-class problem must reduce the loss."""
     params, stats = init_train_params(num_classes=2, seed=0)
@@ -125,6 +127,7 @@ def test_reid_train_eval_mode_uses_running_stats():
     )
 
 
+@pytest.mark.slow
 def test_dp_sharded_train_step_matches_single_device():
     """dp-sharded batch must produce the same loss as unsharded (global BN)."""
     params, stats = init_train_params(num_classes=4, seed=3)
@@ -209,6 +212,7 @@ def test_scanned_step_equals_repeated_batched(small_net):
                                np.stack(outs)[..., :4], atol=2)
 
 
+@pytest.mark.slow
 def test_bucketed_scanned_step_equals_full_capacity(small_net):
     """Capacity bucketing is a pure perf transform: the bucketed step (detect
     at full capacity -> 1-int readback -> capacity-sliced crop/embed/track)
@@ -345,6 +349,7 @@ def test_window_ladder_selection():
     assert none_step._windows == ((100, 200),)
 
 
+@pytest.mark.slow
 def test_sharded_detection_train_matches_single_device():
     """Detector training is sharding-agnostic by construction: BN uses the
     GLOBAL batch mean (a jnp.mean over the batch axis that GSPMD turns into

@@ -26,6 +26,17 @@ from ..ops.letterbox import letterbox, rescale_boxes
 from ..ops.pallas_letterbox import pallas_letterbox_batch
 from ..ops.nms import batched_nms
 from ..tracking.tracker import init_tracker_state, tracker_step
+from ..tracking.tracker_pallas import (
+    tracker_step_fused_batched,
+    use_fused_tracker_default,
+)
+
+
+def _resolve_fused_tracker(use_fused_tracker, trk_cfg) -> bool:
+    """None = auto by backend; the megakernel also requires max_tracks % 8."""
+    if use_fused_tracker is None:
+        use_fused_tracker = use_fused_tracker_default()
+    return bool(use_fused_tracker) and trk_cfg.max_tracks % 8 == 0
 
 
 def make_stream_mesh(n_devices: Optional[int] = None, axis: str = "stream") -> Mesh:
@@ -47,6 +58,7 @@ def fused_frame_step(
     tracked_class_ids=None,  # optional (K,) int32
     compute_dtype=jnp.float32,
     letterboxed=None,  # optional precomputed (size, size, 3) input
+    return_dets=False,  # True: skip the tracker, return (tlwh, conf, feats, mask)
 ):
     """One stream, one frame: letterbox -> detect -> NMS -> rescale -> crop ->
     embed -> associate. Pure function of fixed shapes; vmap over streams.
@@ -79,6 +91,10 @@ def fused_frame_step(
         compute_dtype=compute_dtype,
     )
     feats = reid_apply(reid_params, crops, compute_dtype=compute_dtype)
+    if return_dets:
+        # stateless half only: callers run the BATCHED fused tracker
+        # megakernel outside this per-stream vmap
+        return tlwh, boxes7[:, 5], feats, mask
     img_hw = jnp.array([h, w], jnp.int32)
     state, outputs, emit = tracker_step(
         trk_cfg, state, tlwh, boxes7[:, 5], feats, mask, img_hw
@@ -96,6 +112,7 @@ def make_batched_step(
     donate_state: bool = True,
     with_validity: bool = False,
     use_pallas_letterbox: bool = False,
+    use_fused_tracker=None,  # None = auto by backend (tracker megakernel)
 ):
     """Multi-stream step: (det_params, reid_params, states, frames (S,H,W,3))
     -> (states, (outputs (S,T,5), emit (S,T))). Model params are broadcast;
@@ -107,20 +124,34 @@ def make_batched_step(
     deletions -- the frame simply never happened) and emits nothing, while
     healthy streams proceed normally."""
 
+    fused = _resolve_fused_tracker(use_fused_tracker, trk_cfg)
+
     def run(det_params, reid_params, states, frames):
         fn = partial(
             fused_frame_step, plan, det_cfg, trk_cfg, frame_hw,
             tracked_class_ids=tracked_class_ids, compute_dtype=compute_dtype,
+            return_dets=fused,
         )
         if use_pallas_letterbox:
             xs = pallas_letterbox_batch(frames, det_cfg.img_size)
-            return jax.vmap(
+            out = jax.vmap(
                 lambda st, fr, x: fn(det_params, reid_params, st, fr,
-                                     letterboxed=x)
-            )(states, frames, xs)
-        return jax.vmap(
-            lambda st, fr: fn(det_params, reid_params, st, fr)
-        )(states, frames)
+                                     letterboxed=x),
+                in_axes=(None, 0, 0) if fused else (0, 0, 0),
+            )(None if fused else states, frames, xs)
+        else:
+            out = jax.vmap(
+                lambda st, fr: fn(det_params, reid_params, st, fr),
+                in_axes=(None, 0) if fused else (0, 0),
+            )(None if fused else states, frames)
+        if not fused:
+            return out
+        tlwh, conf, feats, mask = out
+        img_hw = jnp.array(frame_hw, jnp.int32)
+        states, outputs, emit = tracker_step_fused_batched(
+            trk_cfg, states, tlwh, conf, feats, mask, img_hw
+        )
+        return states, (outputs, emit)
 
     if not with_validity:
         return jax.jit(run, donate_argnums=(2,) if donate_state else ())
@@ -150,6 +181,7 @@ def make_scanned_step(
     compute_dtype=jnp.float32,
     donate_state: bool = True,
     use_pallas_letterbox: bool = False,
+    use_fused_tracker=None,  # None = auto by backend (tracker megakernel)
 ):
     """Multi-frame multi-stream step over a chunk of ``n_frames`` frames per
     device dispatch.
@@ -204,14 +236,22 @@ def make_scanned_step(
         per_frame = lambda a: a.reshape(k, s, *a.shape[1:])
         img_hw = jnp.array([h, w], jnp.int32)
 
-        def scan_body(states, frame_data):
-            tlwh_t, conf_t, feats_t, mask_t = frame_data
-            states, outputs, emit = jax.vmap(
-                lambda st, t_, c_, f_, m_: tracker_step(
-                    trk_cfg, st, t_, c_, f_, m_, img_hw
+        if _resolve_fused_tracker(use_fused_tracker, trk_cfg):
+            def scan_body(states, frame_data):
+                tlwh_t, conf_t, feats_t, mask_t = frame_data
+                states, outputs, emit = tracker_step_fused_batched(
+                    trk_cfg, states, tlwh_t, conf_t, feats_t, mask_t, img_hw
                 )
-            )(states, tlwh_t, conf_t, feats_t, mask_t)
-            return states, (outputs, emit)
+                return states, (outputs, emit)
+        else:
+            def scan_body(states, frame_data):
+                tlwh_t, conf_t, feats_t, mask_t = frame_data
+                states, outputs, emit = jax.vmap(
+                    lambda st, t_, c_, f_, m_: tracker_step(
+                        trk_cfg, st, t_, c_, f_, m_, img_hw
+                    )
+                )(states, tlwh_t, conf_t, feats_t, mask_t)
+                return states, (outputs, emit)
 
         return jax.lax.scan(
             scan_body,
@@ -298,6 +338,7 @@ def make_scanned_track_stage(
     donate_state: bool = True,
     crop_window: Optional[Tuple[int, int]] = None,
     use_pallas_crops: bool = False,
+    use_fused_tracker=None,  # None = auto by backend (tracker megakernel)
 ):
     """Tracking half of the bucketed scanned step at detection capacity
     ``cap``: rescale -> crop -> ReID embed -> scanned tracker association,
@@ -370,14 +411,22 @@ def make_scanned_track_stage(
         per_frame = lambda a: a.reshape(k, s, *a.shape[1:])
         img_hw = jnp.array([h, w], jnp.int32)
 
-        def scan_body(states, frame_data):
-            tlwh_t, conf_t, feats_t, mask_t = frame_data
-            states, outputs, emit = jax.vmap(
-                lambda st, t_, c_, f_, m_: tracker_step(
-                    cfg_c, st, t_, c_, f_, m_, img_hw
+        if _resolve_fused_tracker(use_fused_tracker, cfg_c):
+            def scan_body(states, frame_data):
+                tlwh_t, conf_t, feats_t, mask_t = frame_data
+                states, outputs, emit = tracker_step_fused_batched(
+                    cfg_c, states, tlwh_t, conf_t, feats_t, mask_t, img_hw
                 )
-            )(states, tlwh_t, conf_t, feats_t, mask_t)
-            return states, (outputs, emit)
+                return states, (outputs, emit)
+        else:
+            def scan_body(states, frame_data):
+                tlwh_t, conf_t, feats_t, mask_t = frame_data
+                states, outputs, emit = jax.vmap(
+                    lambda st, t_, c_, f_, m_: tracker_step(
+                        cfg_c, st, t_, c_, f_, m_, img_hw
+                    )
+                )(states, tlwh_t, conf_t, feats_t, mask_t)
+                return states, (outputs, emit)
 
         return jax.lax.scan(
             scan_body,
@@ -463,6 +512,7 @@ class BucketedScannedStep:
                 tracked_class_ids=tracked_class_ids,
                 compute_dtype=compute_dtype, donate_state=donate_state,
                 crop_window=win, use_pallas_crops=pallas_ok,
+                use_fused_tracker=None if allow_pallas else False,
             )
 
         self._mk = _mk
