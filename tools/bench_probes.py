@@ -80,7 +80,7 @@ def main():
     p.add_argument("--probe", required=True,
                    choices=["reid-layout", "nms-share", "counts", "stem",
                             "track-split", "crops-impl", "jv-scan",
-                            "crop-window"])
+                            "crop-window", "k1-split"])
     p.add_argument("--model", default="yolov3")
     p.add_argument("--img-size", type=int, default=416)
     p.add_argument("--scan", type=int, default=16)
@@ -297,6 +297,104 @@ def main():
             float(rb)
             out[f"{name}_ms"] = round(
                 (time.perf_counter() - t0) / args.steps * 1e3, 1)
+
+    elif args.probe == "k1-split":
+        # K=1 (single-frame dispatch) latency decomposition at S streams:
+        # where do the ~60 ms go?  Times the full batched step, its
+        # stateless half (letterbox->backbone->NMS->crop->embed), the
+        # letterbox+backbone alone, and the fused tracker alone -- all
+        # chained, per-dispatch sync (latency discipline, not throughput).
+        from functools import partial as _partial
+
+        from yolo_deepsort_tpu.config import DetectorConfig, TrackerConfig
+        from yolo_deepsort_tpu.models.darknet import network_apply
+        from yolo_deepsort_tpu.models.reid import random_reid_params
+        from yolo_deepsort_tpu.ops.pallas_letterbox import (
+            pallas_letterbox_batch,
+        )
+        from yolo_deepsort_tpu.parallel.streams import (
+            fused_frame_step,
+            init_stream_states,
+            make_batched_step,
+        )
+        from yolo_deepsort_tpu.tracking.tracker_pallas import (
+            tracker_step_fused_batched,
+        )
+
+        plan, det_params, frames, conf_vec = bn_weights_and_frames(
+            args.model, args.img_size, 1, s, hw, args.target_dets)
+        fr1 = frames[0]  # (S, H, W, 3)
+        det_cfg = DetectorConfig(img_size=args.img_size,
+                                 conf_thres=float(conf_vec.mean()))
+        trk_cfg = TrackerConfig()
+        reid_params = jax.tree_util.tree_map(
+            jnp.asarray, random_reid_params(0))
+
+        def sync(x):
+            # host readback of one element: block_until_ready is unreliable
+            # through the axon tunnel (DESIGN.md timing discipline)
+            leaf = jax.tree_util.tree_leaves(x)[0]
+            np.asarray(leaf).ravel()[:1]
+
+        def timeit(name, fn, state):
+            state = fn(state)  # compile + warm
+            sync(state)
+            state = fn(state)
+            sync(state)
+            lat = []
+            for _ in range(args.steps):
+                t0 = time.perf_counter()
+                state = fn(state)
+                sync(state)
+                lat.append((time.perf_counter() - t0) * 1e3)
+            lat.sort()
+            out[name + "_p50_ms"] = round(lat[len(lat) // 2], 1)
+
+        # full step (production K=1 path)
+        step = make_batched_step(plan, det_cfg, trk_cfg, hw,
+                                 compute_dtype=jnp.bfloat16,
+                                 donate_state=False,
+                                 use_pallas_letterbox=True)
+        st0 = init_stream_states(trk_cfg, s)
+
+        def full(st):
+            st2, (o, e) = step(det_params, reid_params, st, fr1)
+            return st2
+
+        timeit("full_step", full, st0)
+
+        # stateless half only
+        pre = jax.jit(lambda dp, rp, fr: jax.vmap(
+            lambda f, x: fused_frame_step(
+                plan, det_cfg, trk_cfg, hw, dp, rp, None, f,
+                compute_dtype=jnp.bfloat16, letterboxed=x, return_dets=True),
+        )(fr, pallas_letterbox_batch(fr, det_cfg.img_size)))
+
+        timeit("stateless_half",
+               lambda _: pre(det_params, reid_params, fr1), None)
+
+        # letterbox + backbone only
+        bb = jax.jit(lambda dp, fr: network_apply(
+            plan, dp, pallas_letterbox_batch(fr, det_cfg.img_size),
+            compute_dtype=jnp.bfloat16))
+
+        timeit("letterbox_backbone", lambda _: bb(det_params, fr1), None)
+
+        # tracker alone (fused megakernel), chained state
+        tlwh, conf, feats, mask = jax.block_until_ready(
+            pre(det_params, reid_params, fr1))
+        img_hw = jnp.array(hw, jnp.int32)
+        trk = jax.jit(_partial(tracker_step_fused_batched, trk_cfg))
+
+        def tracker(st):
+            st2, o, e = trk(st, tlwh, conf, feats, mask, img_hw)
+            return st2
+
+        timeit("tracker_fused", tracker, init_stream_states(trk_cfg, s))
+        out["derived_nms_crop_embed_ms"] = round(
+            out["stateless_half_p50_ms"] - out["letterbox_backbone_p50_ms"],
+            1)
+        out["streams"] = s
 
     elif args.probe == "crop-window":
         # windowed vs dense crop resampler at chunk scale: D = K*S*cap boxes
