@@ -108,6 +108,8 @@ def main():
                    help="run the monolithic worst-case-capacity step")
     p.add_argument("--latency-steps", type=int, default=10,
                    help="per-dispatch latency sample count (0 = skip)")
+    p.add_argument("--k1-cap", type=int, default=40,
+                   help="K=1 latency mode: static det capacity (0 = full)")
     p.add_argument("--input-fps", type=float, default=0,
                    help="also report frame latency at this LIVE per-stream "
                         "ingest rate (chunk fill = chunk/input_fps)")
@@ -336,9 +338,24 @@ def main():
     # ---- low-latency K=1 mode: single-frame dispatch latency
     k1_p50 = k1_p99 = None
     if not args.skip_k1_latency and k > 1 and args.latency_steps > 0:
+        # static cap + windowed crops with on-device dense fallback: the
+        # K=1 latency path cannot afford the bucket readback (one tunnel
+        # round-trip), so capacity is a policy constant instead
+        from yolo_deepsort_tpu.tracking.tracker_pallas import (
+            use_fused_tracker_default,
+        )
+
+        k1_kw = {}
+        if args.k1_cap and use_fused_tracker_default():
+            k1_kw = dict(
+                cap=min(args.k1_cap, trk_cfg.max_dets),
+                crop_window=(320, 192) if args.frame_h <= 1080
+                else (640, 384),
+            )
         step1 = make_batched_step(
             plan, det_cfg, trk_cfg, (args.frame_h, args.frame_w),
             compute_dtype=compute_dtype, use_pallas_letterbox=use_pallas,
+            **k1_kw,
         )
         st1 = init_stream_states(trk_cfg, s)
         f1 = frames[0]

@@ -181,3 +181,41 @@ def test_fused_scanned_track_stage_matches_lax():
         for name in ("state", "track_id", "next_id", "gallery_count"):
             np.testing.assert_array_equal(
                 np.asarray(getattr(st_l, name)), np.asarray(getattr(st_f, name)))
+
+
+def test_batched_step_low_latency_cap_window_exact():
+    """cap + crop_window on make_batched_step (the K=1 latency mode) is
+    exact vs the uncapped fused path when dets fit both budgets, and the
+    on-device windowed->dense guard keeps oversized crops correct."""
+    from yolo_deepsort_tpu.api import Darknet
+    from yolo_deepsort_tpu.config import DetectorConfig
+    from yolo_deepsort_tpu.models.reid import random_reid_params
+    from yolo_deepsort_tpu.parallel.streams import (
+        init_stream_states,
+        make_batched_step,
+    )
+
+    h, w = 96, 128
+    model = Darknet("yolov3-tiny", img_size=96)
+    det_cfg = DetectorConfig(img_size=96, conf_thres=0.05)
+    trk_cfg = TrackerConfig(max_tracks=16, max_dets=8, nn_budget=4)
+    reid = random_reid_params(0)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (2, h, w, 3), dtype=np.uint8)
+    outs = {}
+    for name, kw in (
+        ("plain", {}),
+        ("lowlat", dict(cap=8, crop_window=(48, 32))),
+        ("smallwin", dict(cap=8, crop_window=(8, 8))),  # guard -> dense
+    ):
+        step = make_batched_step(model.plan, det_cfg, trk_cfg, (h, w),
+                                 donate_state=False, use_fused_tracker=True,
+                                 **kw)
+        st = init_stream_states(trk_cfg, 2)
+        for _ in range(3):
+            st, (out, emit) = step(model.params, reid, st, frames)
+        outs[name] = (np.asarray(out), np.asarray(emit),
+                      np.asarray(st.track_id), np.asarray(st.state))
+    for variant in ("lowlat", "smallwin"):
+        for a, b in zip(outs["plain"], outs[variant]):
+            np.testing.assert_array_equal(a, b, err_msg=variant)

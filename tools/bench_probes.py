@@ -331,10 +331,11 @@ def main():
             jnp.asarray, random_reid_params(0))
 
         def sync(x):
-            # host readback of one element: block_until_ready is unreliable
-            # through the axon tunnel (DESIGN.md timing discipline)
+            # host readback of ONE element (sliced on device first -- a bare
+            # np.asarray would ship the whole tensor through the tunnel);
+            # block_until_ready is unreliable on axon (DESIGN.md)
             leaf = jax.tree_util.tree_leaves(x)[0]
-            np.asarray(leaf).ravel()[:1]
+            np.asarray(leaf.ravel()[:1])
 
         def timeit(name, fn, state):
             state = fn(state)  # compile + warm
@@ -349,6 +350,14 @@ def main():
                 lat.append((time.perf_counter() - t0) * 1e3)
             lat.sort()
             out[name + "_p50_ms"] = round(lat[len(lat) // 2], 1)
+            # chained: dispatch all steps, sync once -- device time per step
+            # without the tunnel round-trip that dominates p50 at K=1
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                state = fn(state)
+            sync(state)
+            out[name + "_chained_ms"] = round(
+                (time.perf_counter() - t0) / args.steps * 1e3, 1)
 
         # full step (production K=1 path)
         step = make_batched_step(plan, det_cfg, trk_cfg, hw,
@@ -362,6 +371,20 @@ def main():
             return st2
 
         timeit("full_step", full, st0)
+
+        # low-latency variant: static cap + windowed crops (dense fallback
+        # guard on device) -- what bench.py's K=1 mode runs
+        step_ll = make_batched_step(plan, det_cfg, trk_cfg, hw,
+                                    compute_dtype=jnp.bfloat16,
+                                    donate_state=False,
+                                    use_pallas_letterbox=True,
+                                    cap=args.cap, crop_window=(320, 192))
+
+        def full_ll(st):
+            st2, (o, e) = step_ll(det_params, reid_params, st, fr1)
+            return st2
+
+        timeit("full_step_lowlat", full_ll, init_stream_states(trk_cfg, s))
 
         # stateless half only
         pre = jax.jit(lambda dp, rp, fr: jax.vmap(
@@ -392,8 +415,10 @@ def main():
 
         timeit("tracker_fused", tracker, init_stream_states(trk_cfg, s))
         out["derived_nms_crop_embed_ms"] = round(
-            out["stateless_half_p50_ms"] - out["letterbox_backbone_p50_ms"],
-            1)
+            out["stateless_half_chained_ms"]
+            - out["letterbox_backbone_chained_ms"], 1)
+        out["derived_tunnel_rtt_ms"] = round(
+            out["tracker_fused_p50_ms"] - out["tracker_fused_chained_ms"], 1)
         out["streams"] = s
 
     elif args.probe == "crop-window":

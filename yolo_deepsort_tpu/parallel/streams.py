@@ -86,6 +86,10 @@ def fused_frame_step(
     x2 = jnp.clip(xyxy[:, 2], 0, w - 1)
     y2 = jnp.clip(xyxy[:, 3], 0, h - 1)
     tlwh = jnp.stack([x1, y1, x2 - x1, y2 - y1], axis=1)
+    if return_dets == "boxes":
+        # boxes only: the caller runs crops/embed at batch level (the
+        # low-latency capped/windowed path) before the batched tracker
+        return tlwh, boxes7[:, 5], mask, jnp.stack([x1, y1, x2, y2], axis=1)
     crops = crop_and_normalize(
         frame_rgb, jnp.stack([x1, y1, x2, y2], axis=1),
         compute_dtype=compute_dtype,
@@ -113,6 +117,8 @@ def make_batched_step(
     with_validity: bool = False,
     use_pallas_letterbox: bool = False,
     use_fused_tracker=None,  # None = auto by backend (tracker megakernel)
+    cap: Optional[int] = None,  # slice post-NMS dets to top-``cap`` by score
+    crop_window: Optional[Tuple[int, int]] = None,  # windowed ReID crops
 ):
     """Multi-stream step: (det_params, reid_params, states, frames (S,H,W,3))
     -> (states, (outputs (S,T,5), emit (S,T))). Model params are broadcast;
@@ -122,15 +128,40 @@ def make_batched_step(
     per-stream failure isolation (SURVEY.md section 5.3): a stream whose
     decode failed this step keeps its tracker state UNCHANGED (no aging, no
     deletions -- the frame simply never happened) and emits nothing, while
-    healthy streams proceed normally."""
+    healthy streams proceed normally.
+
+    Low-latency mode (fused-tracker path only): ``cap`` slices the post-NMS
+    detections to the top-cap by score (NMS emits score-descending; same
+    slicing as the bucketed stage, but STATIC -- a frame with > cap
+    real detections drops its lowest-score ones), and ``crop_window`` routes
+    ReID crops through the windowed resampler with an ON-DEVICE exactness
+    guard: any consumed crop exceeding the window flips the whole batch to
+    the dense path (lax.cond, no host readback). Measured K=1 device-side
+    step latency 32.9 -> 28.2 ms at S=8x1080p (cap 40, window (320, 192));
+    the remainder is backbone-at-batch-8 (~10 ms) plus fixed dispatch
+    costs, not detection capacity (tools/bench_probes.py --probe
+    k1-split)."""
 
     fused = _resolve_fused_tracker(use_fused_tracker, trk_cfg)
+    h, w = frame_hw
+    if cap is not None and not fused:
+        raise ValueError("cap/crop_window need the fused-tracker path")
+    if crop_window is not None:
+        cw = (min(crop_window[0], h), min(crop_window[1], w))
+        crop_window_eff = None if cw == (h, w) else cw
+    else:
+        crop_window_eff = None
+    cfg_c = trk_cfg
+    if cap is not None and cap < trk_cfg.max_dets:
+        import dataclasses
+
+        cfg_c = dataclasses.replace(trk_cfg, max_dets=cap)
 
     def run(det_params, reid_params, states, frames):
         fn = partial(
             fused_frame_step, plan, det_cfg, trk_cfg, frame_hw,
             tracked_class_ids=tracked_class_ids, compute_dtype=compute_dtype,
-            return_dets=fused,
+            return_dets="boxes" if fused else False,
         )
         if use_pallas_letterbox:
             xs = pallas_letterbox_batch(frames, det_cfg.img_size)
@@ -146,10 +177,39 @@ def make_batched_step(
             )(None if fused else states, frames)
         if not fused:
             return out
-        tlwh, conf, feats, mask = out
+        tlwh, conf, mask, bxyxy = out
+        d = cfg_c.max_dets
+        tlwh, conf, mask, bxyxy = (
+            tlwh[:, :d], conf[:, :d], mask[:, :d], bxyxy[:, :d])
+
+        def dense(fr, bx):
+            return jax.vmap(lambda f, b: crop_and_normalize(
+                f, b, compute_dtype=compute_dtype))(fr, bx)
+
+        if crop_window_eff is not None:
+            wh, ww = crop_window_eff
+
+            def windowed(fr, bx):
+                return jax.vmap(lambda f, b: crop_and_normalize_windowed(
+                    f, b, wh, ww, compute_dtype=compute_dtype))(fr, bx)
+
+            # exactness guard ON DEVICE (no host readback in the latency
+            # path): the windowed resampler is bit-identical to dense only
+            # when every consumed crop fits the window, else fall back
+            x1i, y1i, x2i, y2i = crop_window_bounds(bxyxy, h, w)
+            fits = jnp.all(
+                ~mask | (((y2i - y1i) <= wh) & ((x2i - x1i) <= ww)))
+            crops = jax.lax.cond(fits, windowed, dense, frames, bxyxy)
+        else:
+            crops = dense(frames, bxyxy)
+        s = crops.shape[0]
+        feats = reid_apply(
+            reid_params, crops.reshape(s * d, *crops.shape[2:]),
+            compute_dtype=compute_dtype,
+        ).reshape(s, d, -1)
         img_hw = jnp.array(frame_hw, jnp.int32)
         states, outputs, emit = tracker_step_fused_batched(
-            trk_cfg, states, tlwh, conf, feats, mask, img_hw
+            cfg_c, states, tlwh, conf, feats, mask, img_hw
         )
         return states, (outputs, emit)
 
