@@ -195,6 +195,13 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
+    # honor JAX_PLATFORMS=cpu despite the axon sitecustomize prepending
+    # the TPU plugin (same dance as tests/conftest.py)
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     if args.synthetic:
         m_jax, m_oracle = synthetic_eval(seed=args.seed)
         print(f"jax    : {m_jax}")

@@ -124,22 +124,32 @@ def write_darknet_weights(
 
 
 def random_darknet_weights(
-    module_defs: Sequence[dict], in_channels: int = 3, seed: int = 0
+    module_defs: Sequence[dict], in_channels: int = 3, seed: int = 0,
+    well_conditioned: bool = False,
 ) -> bytes:
-    """Synthesize a random-but-valid .weights blob for round-trip/parity tests."""
+    """Synthesize a random-but-valid .weights blob for round-trip/parity tests.
+
+    well_conditioned=True scales conv weights by 1/sqrt(fan_in) so
+    activations stay O(1) through deep nets — without it, layer-wise gain
+    compounds and the yolo exp() decode overflows f32, which makes
+    per-layer parity diffs degenerate (inf/nan vs inf/nan proves nothing
+    about weight layout)."""
     rng = np.random.default_rng(seed)
     params: Dict[int, Dict[str, np.ndarray]] = {}
     for idx, oc, ic, k, has_bn in conv_layer_shapes(module_defs, in_channels):
         layer: Dict[str, np.ndarray] = {}
         if has_bn:
-            layer["bn_bias"] = rng.normal(0, 0.5, oc).astype(np.float32)
-            layer["bn_weight"] = rng.normal(1, 0.3, oc).astype(np.float32)
-            layer["bn_mean"] = rng.normal(0, 0.5, oc).astype(np.float32)
+            b_std, w_std = (0.1, 0.1) if well_conditioned else (0.5, 0.3)
+            layer["bn_bias"] = rng.normal(0, b_std, oc).astype(np.float32)
+            layer["bn_weight"] = rng.normal(1, w_std, oc).astype(np.float32)
+            layer["bn_mean"] = rng.normal(0, b_std, oc).astype(np.float32)
             layer["bn_var"] = rng.uniform(0.5, 2.0, oc).astype(np.float32)
         else:
-            layer["conv_bias"] = rng.normal(0, 0.5, oc).astype(np.float32)
+            layer["conv_bias"] = rng.normal(0, 0.1 if well_conditioned
+                                            else 0.5, oc).astype(np.float32)
+        w_sigma = (ic * k * k) ** -0.5 if well_conditioned else 0.2
         layer["conv_weight"] = (
-            rng.normal(0, 0.2, (oc, ic, k, k)).astype(np.float32)
+            rng.normal(0, w_sigma, (oc, ic, k, k)).astype(np.float32)
         )
         params[idx] = layer
     header = np.array([0, 2, 0, 0, 0], dtype=np.int32)

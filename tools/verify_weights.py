@@ -64,7 +64,10 @@ def main():
     x = rng.uniform(0, 1, (args.batch, 3, plan.img_size, plan.img_size))
     x = x.astype(np.float32)
 
-    _, oracle_layers = model_np.forward(defs, raw, x.astype(np.float64),
+    # oracle in f32 like the jax path: random/garbage weights can overflow
+    # the yolo exp() decode, and f64-finite-vs-f32-inf would flag a fake
+    # divergence; matching non-finites (inf same sign, nan) compare equal
+    _, oracle_layers = model_np.forward(defs, raw, x.astype(np.float32),
                                         img_dim=plan.img_size)
     _, jax_layers = network_apply(
         plan, params, np.ascontiguousarray(x.transpose(0, 2, 3, 1)),
@@ -77,7 +80,10 @@ def main():
         j = np.asarray(j)
         if mdef["type"] != "yolo" and j.ndim == 4:
             j = j.transpose(0, 3, 1, 2)  # NHWC -> oracle's NCHW
-        d = np.abs(j.astype(np.float64) - o)
+        j64, o = j.astype(np.float64), np.asarray(o, np.float64)
+        same_special = (np.isnan(j64) & np.isnan(o)) | (
+            np.isinf(j64) & np.isinf(o) & (np.sign(j64) == np.sign(o)))
+        d = np.where(same_special, 0.0, np.abs(j64 - o))
         rel = d / (np.abs(o) + 1e-6)
         flag = " <-- DIVERGES" if d.max() > args.threshold else ""
         print(f"{i:>4} {mdef['type']:<14} {str(o.shape):<22} "
