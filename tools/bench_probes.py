@@ -63,6 +63,21 @@ def bn_weights_and_frames(model, img_size, k, s, hw, target, box_prior=True):
     det_params = jax.tree_util.tree_map(
         jnp.asarray, W.fold_inference_params(raw, plan.defs()))
 
+    conf_vec = calibrate_conf(plan, det_params, frames[0], img_size, target)
+    return plan, det_params, frames, conf_vec
+
+
+def calibrate_conf(plan, det_params, frames_s, img_size, target):
+    """Per-stream objectness threshold putting ~target dets above it —
+    calibrated on the ACTUAL frames the run will see (synthetic noise vs
+    decoded video have very different conf distributions; calibrating on
+    the wrong one shifts the whole capacity-bucket ladder)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_deepsort_tpu.models.darknet import network_apply
+    from yolo_deepsort_tpu.ops.letterbox import letterbox
+
     @jax.jit
     def obj_quantile(dp, flat):
         x = jax.vmap(lambda f: letterbox(f, img_size))(flat)
@@ -70,8 +85,8 @@ def bn_weights_and_frames(model, img_size, k, s, hw, target, box_prior=True):
         top = jax.lax.top_k(d[..., 4], target)[0]
         return top[:, target - 1]
 
-    conf_vec = np.asarray(obj_quantile(det_params, frames[0]), np.float32)
-    return plan, det_params, frames, conf_vec
+    return np.asarray(obj_quantile(det_params, jnp.asarray(frames_s)),
+                      np.float32)
 
 
 def main():

@@ -23,6 +23,252 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _ensure_clips(clip_dir, s, hw, n_frames, fps=30.0):
+    """Synthesize S decodable soak clips: textured background + moving
+    boxes (moderate-bitrate content -- flat frames would make decode
+    unrealistically cheap). Cached across runs."""
+    import cv2
+
+    h, w = hw
+    os.makedirs(clip_dir, exist_ok=True)
+    paths = []
+    rng = np.random.default_rng(7)
+    for i in range(s):
+        path = os.path.join(clip_dir, f"soak_{i}_{h}x{w}_{n_frames}.mp4")
+        paths.append(path)
+        if os.path.exists(path):
+            continue
+        bg = rng.integers(40, 160, (h, w, 3), dtype=np.uint8)
+        bg = cv2.GaussianBlur(bg, (0, 0), 3)
+        n_obj = 16
+        px, py = max(w - 80, 1), max(h - 160, 1)  # small test frames too
+        pos = rng.uniform(0, [px, py], (n_obj, 2))
+        vel = rng.normal(0, 4, (n_obj, 2))
+        size = rng.uniform([40, 90], [90, 220], (n_obj, 2))
+        size = np.minimum(size, [max(w // 3, 2), max(h // 2, 2)])
+        color = rng.integers(0, 255, (n_obj, 3))
+        wri = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                              (w, h))
+        assert wri.isOpened(), path
+        for t in range(n_frames):
+            frame = bg.copy()
+            pos = pos + vel
+            pos[:, 0] %= px
+            pos[:, 1] %= py
+            for o in range(n_obj):
+                x, y = int(pos[o, 0]), int(pos[o, 1])
+                bw, bh = int(size[o, 0]), int(size[o, 1])
+                cv2.rectangle(frame, (x, y), (min(x + bw, w - 1),
+                                              min(y + bh, h - 1)),
+                              color[o].tolist(), -1)
+            wri.write(frame)
+        wri.release()
+    return paths
+
+
+def soak_ingest(args):
+    """END-TO-END ingest soak (SURVEY.md section 7 hard part 6): host video
+    decode threads -> native C++ frame rings -> chunk assembly -> host->
+    device transfer -> the production bucketed step. Reports sustained
+    aggregate fps INCLUDING decode, the decode-only ceiling, ring drops and
+    chip starvation -- the honest serving number for real video sources
+    (bench.py feeds device-resident synthetic frames)."""
+    import threading
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from bench_probes import bn_weights_and_frames
+    from yolo_deepsort_tpu.config import DetectorConfig, TrackerConfig
+    from yolo_deepsort_tpu.models.reid import random_reid_params
+    from yolo_deepsort_tpu.parallel.streams import (
+        init_stream_states,
+        make_scanned_step_bucketed,
+    )
+    from yolo_deepsort_tpu.runtime.native import FramePool, available
+
+    if not available():
+        print(json.dumps({"metric": "ingest soak", "ok": False,
+                          "failures": ["native frame_ring unavailable"]}))
+        sys.exit(1)
+    k, s, hw = args.scan, args.streams, (args.frame_h, args.frame_w)
+    h, w = hw
+    clips = _ensure_clips(args.clip_dir, s, hw, args.clip_frames)
+
+    # ---- decode-only ceiling: S looping decoder threads, no device work
+    stop = threading.Event()
+    counts = [0] * s
+
+    def count_decoder(i):
+        cap = cv2.VideoCapture(clips[i])
+        while not stop.is_set():
+            ok, frame = cap.read()
+            if not ok:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+                continue
+            counts[i] += 1
+        cap.release()
+
+    threads = [threading.Thread(target=count_decoder, args=(i,), daemon=True)
+               for i in range(s)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    time.sleep(args.decode_probe_secs)
+    stop.set()
+    for t in threads:
+        t.join(timeout=3)
+    decode_fps = sum(counts) / (time.perf_counter() - t0)
+
+    # ---- weights + per-stream calibration (same honest load as bench)
+    plan, det_params, frames_syn, _ = bn_weights_and_frames(
+        args.model, args.img_size, k, s, hw, args.target_dets)
+    del frames_syn
+    # recalibrate the objectness threshold on ACTUAL clip content — the
+    # synthetic-noise calibration puts the decoded frames' conf
+    # distribution in the wrong place and pins the dense 64-cap bucket
+    from bench_probes import calibrate_conf
+
+    first = []
+    for p in clips:
+        cap = cv2.VideoCapture(p)
+        ok, fr = cap.read()
+        assert ok, p
+        first.append(np.ascontiguousarray(fr[:, :, ::-1]))
+        cap.release()
+    conf_vec = calibrate_conf(plan, det_params, np.stack(first),
+                              args.img_size, args.target_dets)
+    reid_params = jax.tree_util.tree_map(
+        jnp.asarray, random_reid_params(0))
+    trk_cfg = TrackerConfig(max_dets=64)
+    det_cfg = DetectorConfig(
+        img_size=args.img_size, conf_thres=float(conf_vec.mean()))
+
+    def build(use_pallas_lb):
+        return make_scanned_step_bucketed(
+            plan, det_cfg, trk_cfg, hw, buckets=(16, 24, 32, 36, 40, 48),
+            compute_dtype=jnp.bfloat16, use_pallas_letterbox=use_pallas_lb,
+            use_pallas_crops=None if use_pallas_lb else False,
+            donate_state=False,
+        )
+
+    step = build(True)
+    states = init_stream_states(trk_cfg, s)
+
+    # ---- looping decoders feeding the native rings with BACKPRESSURE
+    # (file sources: a full ring blocks the decoder; no frames are lost.
+    # fr_push's dropped counter counts full-ring rejections, i.e. RETRIES
+    # here -- not loss -- so it is not reported)
+    pool = FramePool(s, h, w, depth=max(2 * k, 8))
+    stop = threading.Event()
+    pushed = [0] * s
+
+    def decoder(i):
+        cap = cv2.VideoCapture(clips[i])
+        while not stop.is_set():
+            ok, frame = cap.read()
+            if not ok:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+                continue
+            while not pool.push(i, frame):
+                if stop.is_set():
+                    return
+                time.sleep(0.0005)
+            pushed[i] += 1
+        cap.release()
+
+    threads = [threading.Thread(target=decoder, args=(i,), daemon=True)
+               for i in range(s)]
+    for t in threads:
+        t.start()
+
+    chunk_buf = np.empty((k, s, h, w, 3), np.uint8)
+
+    def assemble():
+        """Fill one (K, S, H, W, 3) chunk; returns chip-starvation wait."""
+        waited = 0.0
+        for j in range(k):
+            t0 = time.perf_counter()
+            while min(pool.available_frames(i) for i in range(s)) == 0:
+                time.sleep(0.0005)
+            waited += time.perf_counter() - t0
+            batch, valid, n = pool.pop_batch()
+            chunk_buf[j] = batch
+        return waited
+
+    # warmup/compile on a first chunk (Pallas-kernel fallback like bench.py)
+    assemble()
+    dev_frames = jnp.asarray(chunk_buf)
+    try:
+        for _ in range(2):
+            states, (outputs, emit) = step(det_params, reid_params, states,
+                                           dev_frames)
+        jax.block_until_ready(outputs)
+    except Exception:
+        step = build(False)
+        states = init_stream_states(trk_cfg, s)
+        for _ in range(2):
+            states, (outputs, emit) = step(det_params, reid_params, states,
+                                           dev_frames)
+        jax.block_until_ready(outputs)
+
+    failures = []
+    waited_total = 0.0
+    buckets_seen = {}
+    t0 = time.perf_counter()
+    assemble()
+    nxt = step.detect(det_params, jnp.asarray(chunk_buf))
+    for i in range(args.chunks):
+        cur = nxt
+        if i + 1 < args.chunks:
+            # assemble the next chunk while the dispatched detect runs
+            waited_total += assemble()
+            nxt = step.detect(det_params, jnp.asarray(chunk_buf))
+        states, (outputs, emit) = step.track(reid_params, states, cur)
+        key = (step.last_bucket, step.last_window)
+        buckets_seen[key] = buckets_seen.get(key, 0) + 1
+        print(f"[soak] chunk {i} bucket={step.last_bucket} "
+              f"win={step.last_window} crop={step.last_crop_hw} "
+              f"t={time.perf_counter() - t0:.1f}s", file=sys.stderr,
+              flush=True)
+    jax.block_until_ready(outputs)
+    dt = time.perf_counter() - t0
+    stop.set()
+    for t in threads:
+        t.join(timeout=3)
+
+    out_np = np.asarray(outputs)[np.asarray(emit)]
+    if out_np.size and (np.abs(out_np[:, :4]) > 4 * max(hw)).any():
+        failures.append("final chunk: emitted boxes far outside the frame")
+    if not bool(jnp.isfinite(states.mean).all()):
+        failures.append("non-finite tracker state")
+
+    frames_total = args.chunks * k * s
+    rec = {
+        "metric": "ingest soak fps/chip (incl. host decode + transfer)",
+        "value": round(frames_total / dt, 2),
+        "unit": "frames/sec/chip",
+        "decode_only_fps": round(decode_fps, 1),
+        "chunks": args.chunks,
+        "frames": frames_total,
+        "minutes": round(dt / 60, 2),
+        "starved_frac": round(waited_total / dt, 3),
+        "decode_pushed_fps": round(sum(pushed) / dt, 1),
+        "variants_seen": {f"{b}@{w}": n
+                          for (b, w), n in buckets_seen.items()},
+        "capacity_bucket": step.last_bucket,
+        "dets_bucket_max": step.last_max_count,
+        "bound": ("host-decode" if decode_fps < frames_total / dt * 1.1
+                  else "chip-or-transfer"),
+        "failures": failures,
+        "ok": not failures,
+    }
+    pool.close()
+    print(json.dumps(rec))
+    sys.exit(0 if not failures else 1)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--chunks", type=int, default=100)
@@ -36,7 +282,31 @@ def main():
     p.add_argument("--check-every", type=int, default=10,
                    help="invariant-check cadence (each check is a host "
                         "readback of the state)")
+    p.add_argument("--ingest", action="store_true",
+                   help="end-to-end mode: decode real video through the "
+                        "native rings instead of device-resident frames")
+    p.add_argument("--clip-dir", default="/tmp/ydt_soak_clips")
+    p.add_argument("--clip-frames", type=int, default=300)
+    p.add_argument("--decode-probe-secs", type=float, default=6.0)
     args = p.parse_args()
+
+    # honor JAX_PLATFORMS=cpu even though the axon sitecustomize prepends
+    # the TPU plugin (same dance as tests/conftest.py)
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.ingest:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                              os.path.join(repo, ".jax_cache"))
+        os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES",
+                              "0")
+        os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
+                              "1")
+        soak_ingest(args)
+        return
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
