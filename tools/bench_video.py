@@ -80,43 +80,81 @@ def main():
     vt = VideoTracker(model, tracked_classes=None,
                       conf_thres=float(conf_vec.mean()), half=True)
 
-    def run_pass(measure):
+    def run_pass():
+        """One generator pass; returns (n, dets, wall, per-chunk times).
+        Per-chunk times let steady state be separated from the lazy
+        (bucket, window) variant compiles, which cost minutes EACH through
+        the axon tunnel and would otherwise swamp the number."""
         n = 0
         dets = 0
+        chunk_times = []
         gen = vt.track(clip, chunk=args.chunk)
         t0 = time.perf_counter()
+        t_chunk = t0
         for annotated, outputs in gen:
-            if args.no_draw:
-                pass  # annotation already happened in emit(); kept honest
             n += 1
             dets += len(outputs)
+            if n % args.chunk == 0:
+                now = time.perf_counter()
+                chunk_times.append(now - t_chunk)
+                t_chunk = now
             if n >= args.frames:
                 gen.close()
                 break
-        return n, dets, time.perf_counter() - t0
+        return n, dets, time.perf_counter() - t0, chunk_times
 
-    run_pass(False)  # compile + warm
-    n, dets, dt = run_pass(True)
-    # per-frame (chunk=1-equivalent would be track_frame; report both)
+    # two warm passes: tracker state differs across passes, so pass 2 can
+    # hit (bucket, window) variants pass 1 never compiled
+    for _ in range(2):
+        run_pass()
+
+    # in-context h2d ceiling: the axon tunnel degrades to ~50 MB/s once a
+    # process has run compute (round-3 measurement; idle-process probes
+    # show 1 GB/s). Measured HERE so the report attributes a transfer-bound
+    # number to the environment, not the design (real PCIe: 16-64 GB/s).
+    probe = np.zeros((args.chunk, args.frame_h, args.frame_w, 3), np.uint8)
+    jnp.asarray(probe).block_until_ready()
+    t0 = time.perf_counter()
+    jnp.asarray(probe).block_until_ready()
+    h2d_secs = time.perf_counter() - t0
+    h2d_gbps = probe.nbytes / h2d_secs / 1e9
+    transfer_ceiling = args.chunk / h2d_secs
+    del probe
+
+    n, dets, dt, chunk_times = run_pass()
+
+    # per-frame mode: warm, then measure
     vt.reset()
     gen = vt.track(clip)
-    n1 = 0
-    t0 = time.perf_counter()
-    for _ in gen:
-        n1 += 1
-        if n1 >= min(64, args.frames):
+    frame_times = []
+    t_prev = time.perf_counter()
+    for i, _ in enumerate(gen):
+        now = time.perf_counter()
+        frame_times.append(now - t_prev)
+        t_prev = now
+        if i + 1 >= min(64, args.frames):
             gen.close()
             break
-    dt1 = time.perf_counter() - t0
+    warm_frames = sorted(frame_times[8:])
+    frame_p50 = warm_frames[len(warm_frames) // 2] if warm_frames else 0.0
 
+    ct = sorted(chunk_times)
+    med = ct[len(ct) // 2] if ct else float("inf")
+    slow = sum(1 for t in chunk_times if t > 2 * med)
     rec = {
         "metric": "single-video end-to-end fps (decode+device+draw)",
         "value": round(n / dt, 2),
         "unit": "frames/sec",
+        "steady_fps": round(args.chunk / med, 2),
+        "chunk_p50_ms": round(med * 1000, 1),
+        "slow_chunks": slow,  # >2x median = compile/GC hits in the pass
         "chunk": args.chunk,
         "frames": n,
         "tracks_per_frame": round(dets / max(n, 1), 1),
-        "per_frame_mode_fps": round(n1 / dt1, 2),
+        "per_frame_mode_steady_fps": round(1.0 / max(frame_p50, 1e-9), 2),
+        "h2d_gbps": round(h2d_gbps, 3),
+        "transfer_ceiling_fps": round(transfer_ceiling, 1),
+        "transfer_bound": transfer_ceiling < (args.chunk / med) * 1.3,
         "clip": clip,
     }
     print(json.dumps(rec))

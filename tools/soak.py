@@ -156,6 +156,20 @@ def soak_ingest(args):
     step = build(True)
     states = init_stream_states(trk_cfg, s)
 
+    # ---- host->device bandwidth ceiling (the axon tunnel moves ~1 GB/s;
+    # a real TPU host's PCIe moves 16-64 GB/s -- report the ceiling so the
+    # soak number is attributable to the environment, not the design)
+    probe = np.zeros((k, s, h, w, 3), np.uint8)
+    dev = jnp.asarray(probe)
+    dev.block_until_ready()
+    t0 = time.perf_counter()
+    dev = jnp.asarray(probe)
+    dev.block_until_ready()
+    h2d_secs = time.perf_counter() - t0
+    h2d_gbps = probe.nbytes / h2d_secs / 1e9
+    transfer_ceiling_fps = (k * s) / h2d_secs
+    del probe, dev
+
     # ---- looping decoders feeding the native rings with BACKPRESSURE
     # (file sources: a full ring blocks the decoder; no frames are lost.
     # fr_push's dropped counter counts full-ring rejections, i.e. RETRIES
@@ -259,8 +273,11 @@ def soak_ingest(args):
                           for (b, w), n in buckets_seen.items()},
         "capacity_bucket": step.last_bucket,
         "dets_bucket_max": step.last_max_count,
+        "h2d_gbps": round(h2d_gbps, 2),
+        "transfer_ceiling_fps": round(transfer_ceiling_fps, 1),
         "bound": ("host-decode" if decode_fps < frames_total / dt * 1.1
-                  else "chip-or-transfer"),
+                  else ("h2d-transfer" if transfer_ceiling_fps
+                        < frames_total / dt * 1.3 else "chip")),
         "failures": failures,
         "ok": not failures,
     }

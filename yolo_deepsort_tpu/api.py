@@ -60,6 +60,29 @@ class _GeometryCache:
             self._d.popitem(last=False)
         return fn
 
+    def replace(self, key, builder):
+        """Force-rebuild (first-call Pallas fallback path)."""
+        self._d.pop(key, None)
+        return self.get(key, builder)
+
+
+def _letterbox_fn(size: int, interp: str = "bilinear",
+                  force_xla: bool = False):
+    """Letterbox implementation for the api steps: the fused Pallas kernel
+    on TPU-class backends (the XLA static-index-gather letterbox costs
+    200-550 ms/frame at 1080p on TPU -- round-3 measurement), XLA
+    elsewhere / for non-bilinear interp / when forced by the first-call
+    fallback."""
+    from .ops.pallas_letterbox import (
+        pallas_letterbox,
+        use_pallas_letterbox_default,
+    )
+
+    if (not force_xla and interp == "bilinear"
+            and use_pallas_letterbox_default()):
+        return lambda frame: pallas_letterbox(frame, size)
+    return lambda frame: letterbox(frame, size, interp=interp)
+
 
 class Darknet:
     """cfg-driven detector model (reference: yolo3/models.py Darknet).
@@ -142,14 +165,16 @@ class ImageDetector:
         self.interp = interp
         self._steps = _GeometryCache()
 
-    def _step_for(self, h: int, w: int):
+    def _step_for(self, h: int, w: int, force_xla_letterbox: bool = False):
         def build():
             cfg = self.cfg
             size = cfg.img_size
+            lbox = _letterbox_fn(size, interp=self.interp,
+                                 force_xla=force_xla_letterbox)
 
             @jax.jit
             def step(params, frame):
-                x = letterbox(frame, size, interp=self.interp)[None]
+                x = lbox(frame)[None]
                 dets = network_apply(self.model.plan, params, x,
                                      compute_dtype=self.compute_dtype)
                 boxes7, mask = batched_nms(
@@ -162,12 +187,20 @@ class ImageDetector:
 
             return step
 
+        if force_xla_letterbox:
+            return self._steps.replace((h, w), build)
         return self._steps.get((h, w), build)
 
     def detect(self, img_rgb: np.ndarray) -> np.ndarray:
         h, w = img_rgb.shape[:2]
         step = self._step_for(h, w)
-        boxes, mask = step(self.model.params, img_rgb)
+        try:
+            boxes, mask = step(self.model.params, img_rgb)
+        except Exception:
+            # first-call Pallas letterbox fallback (backends where the
+            # kernel cannot compile); an already-warm step never re-raises
+            step = self._step_for(h, w, force_xla_letterbox=True)
+            boxes, mask = step(self.model.params, img_rgb)
         return np.asarray(boxes)[np.asarray(mask)]
 
     def draw(self, img_rgb: np.ndarray, detections: np.ndarray) -> np.ndarray:
@@ -434,18 +467,19 @@ class VideoTracker:
     def reset(self):
         self.state = init_tracker_state(self.trk_cfg)
 
-    def _step_for(self, h: int, w: int):
+    def _step_for(self, h: int, w: int, force_xla_letterbox: bool = False):
         def build():
             det_cfg, trk_cfg = self.det_cfg, self.trk_cfg
             size = det_cfg.img_size
             plan = self.model.plan
             class_ids = self.tracked_class_ids
+            lbox = _letterbox_fn(size, force_xla=force_xla_letterbox)
 
             cdtype = self.compute_dtype
 
             @jax.jit
             def step(det_params, reid_params, state, frame_rgb):
-                x = letterbox(frame_rgb, size)[None]
+                x = lbox(frame_rgb)[None]
                 decoded = network_apply(plan, det_params, x,
                                         compute_dtype=cdtype)
                 boxes7, mask = batched_nms(
@@ -481,6 +515,8 @@ class VideoTracker:
 
             return step
 
+        if force_xla_letterbox:
+            return self._steps.replace((h, w), build)
         return self._steps.get((h, w), build)
 
     def save_state(self, path: str) -> None:
@@ -496,19 +532,34 @@ class VideoTracker:
         self.state = TrackerState(**{k: jnp.asarray(d[k])
                                      for k in TrackerState._fields})
 
-    def _chunk_step_for(self, h: int, w: int, chunk: int):
+    def _chunk_step_for(self, h: int, w: int, chunk: int,
+                        force_xla_letterbox: bool = False):
         def build():
             from .parallel.streams import make_scanned_step_bucketed
 
+            # denser capacity ladder than the stream default: a single
+            # video's det count sits wherever the scene puts it, and the
+            # gap between bucket 32 and max_dets (100) would otherwise run
+            # typical 30-50-det scenes at worst-case crop/embed capacity
+            cap = self.trk_cfg.max_dets
+            ladder = tuple(b for b in (8, 16, 24, 32, 40, 48, 64)
+                           if b < cap)
+            from .ops.pallas_letterbox import use_pallas_letterbox_default
+
             return make_scanned_step_bucketed(
                 self.model.plan, self.det_cfg, self.trk_cfg, (h, w),
+                buckets=ladder,
                 tracked_class_ids=self.tracked_class_ids,
                 compute_dtype=self.compute_dtype, donate_state=False,
+                use_pallas_letterbox=(not force_xla_letterbox
+                                      and use_pallas_letterbox_default()),
             )
 
         # one BucketedScannedStep serves any chunk length (its stages
         # re-specialize per frame-count internally)
         del chunk
+        if force_xla_letterbox:
+            return self._steps.replace((h, w, "chunked"), build)
         return self._steps.get((h, w, "chunked"), build)
 
     def _track_frames_async(self, frames_rgb: np.ndarray):
@@ -521,10 +572,16 @@ class VideoTracker:
         k, h, w = frames_rgb.shape[0], frames_rgb.shape[1], frames_rgb.shape[2]
         step = self._chunk_step_for(h, w, k)
         states = jax.tree_util.tree_map(lambda x: x[None], self.state)
-        states, (outputs, emit) = step(
-            self.model.params, self.reid_params, states,
-            jnp.asarray(frames_rgb)[:, None],  # (K, S=1, H, W, 3)
-        )
+        frames_dev = jnp.asarray(frames_rgb)[:, None]  # (K, S=1, H, W, 3)
+        try:
+            states, (outputs, emit) = step(
+                self.model.params, self.reid_params, states, frames_dev)
+        except Exception:
+            # first-call Pallas letterbox fallback (the bucketed step's own
+            # per-variant fallback covers the crop kernel, not detect)
+            step = self._chunk_step_for(h, w, k, force_xla_letterbox=True)
+            states, (outputs, emit) = step(
+                self.model.params, self.reid_params, states, frames_dev)
         self.state = jax.tree_util.tree_map(lambda x: x[0], states)
         return outputs, emit
 
@@ -552,10 +609,16 @@ class VideoTracker:
         """One frame -> int rows [x1, y1, x2, y2, track_id]."""
         h, w = frame_rgb.shape[:2]
         step = self._step_for(h, w)
-        self.state, outputs, emit, _, _ = step(
-            self.model.params, self.reid_params, self.state,
-            np.ascontiguousarray(frame_rgb),
-        )
+        frame = np.ascontiguousarray(frame_rgb)
+        try:
+            new_state, outputs, emit, _, _ = step(
+                self.model.params, self.reid_params, self.state, frame)
+        except Exception:
+            # first-call Pallas letterbox fallback
+            step = self._step_for(h, w, force_xla_letterbox=True)
+            new_state, outputs, emit, _, _ = step(
+                self.model.params, self.reid_params, self.state, frame)
+        self.state = new_state
         out = np.asarray(outputs)[np.asarray(emit)]
         return out.astype(np.int64) if len(out) else np.zeros((0, 5), np.int64)
 

@@ -156,3 +156,23 @@ def pallas_letterbox_batch(
     )(jnp.asarray(band_starts), frames_planar, jnp.asarray(wy_tiles),
       jnp.asarray(wx_full.T))
     return jnp.transpose(out_planar, (0, 2, 3, 1))  # (B, S, S, 3)
+
+
+def use_pallas_letterbox_default() -> bool:
+    """Kernel on TPU-class backends. The XLA letterbox's static-index
+    gathers cost 200-550 ms/frame at 1080p on TPU (round-3 measurement:
+    the api-path chunk step spent 3-9 s of its dispatch in 16 frames of
+    XLA letterbox while the whole track stage ran in 70 ms), which is why
+    the fused kernel exists. YDT_LETTERBOX_PALLAS=0/1 forces; default:
+    auto by backend (same convention as the crop and JV kernels)."""
+    import os
+
+    flag = os.environ.get("YDT_LETTERBOX_PALLAS", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
