@@ -98,3 +98,45 @@ def test_int8_conv_impl_hook(setup):
     b = np.asarray(reid_apply_int8(qparams, x, conv_impl=impl))
     assert len(calls) == 20  # every conv routed through the hook
     np.testing.assert_array_equal(a, b)
+
+
+def test_track_stage_int8_embed_smoke():
+    """make_scanned_track_stage(embed_int8=True) must run end-to-end with
+    a quantized package and emit finite, well-shaped outputs."""
+    import jax
+    from yolo_deepsort_tpu.config import DetectorConfig, TrackerConfig
+    from yolo_deepsort_tpu.parallel.streams import (
+        init_stream_states,
+        make_scanned_detect_stage,
+        make_scanned_track_stage,
+    )
+    from yolo_deepsort_tpu.models.darknet import build_network
+    from yolo_deepsort_tpu.cfg.architectures import ARCHITECTURES
+    from yolo_deepsort_tpu.models import weights as W
+
+    k, s, hw = 2, 2, (160, 192)
+    plan = build_network(ARCHITECTURES["yolov3-tiny"](img_size=160))
+    det_params = jax.tree_util.tree_map(
+        jnp.asarray,
+        W.fold_inference_params(W.random_raw_params(plan.defs(), seed=0),
+                                plan.defs()))
+    det_cfg = DetectorConfig(img_size=160, conf_thres=0.01)
+    trk_cfg = TrackerConfig(max_dets=8)
+    params = random_reid_params(seed=1)
+    rng = np.random.default_rng(0)
+    qparams = quantize_reid_params(
+        params, rng.normal(0, 1, (4, 128, 64, 3)).astype(np.float32))
+    qparams = jax.tree_util.tree_map(jnp.asarray, qparams)
+
+    detect = make_scanned_detect_stage(plan, det_cfg, trk_cfg, hw,
+                                       compute_dtype=jnp.bfloat16)
+    track = make_scanned_track_stage(
+        det_cfg, trk_cfg, hw, cap=8, compute_dtype=jnp.bfloat16,
+        donate_state=False, embed_int8=True, use_fused_tracker=False)
+    frames = jnp.asarray(
+        rng.integers(0, 255, (k, s, *hw, 3), dtype=np.uint8))
+    b7, m, _ = detect(det_params, frames)
+    states = init_stream_states(trk_cfg, s)
+    states, (outs, emit) = track(qparams, states, frames, b7, m)
+    assert outs.shape[:2] == (k, s) and emit.shape[:2] == (k, s)
+    assert bool(jnp.isfinite(states.mean).all())

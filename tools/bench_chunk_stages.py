@@ -35,6 +35,8 @@ def main():
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--target-dets", type=int, default=32)
     p.add_argument("--caps", default="32,48,64")
+    p.add_argument("--int8-embed", action="store_true",
+                   help="add same-graph int8-embed A/B variants")
     args = p.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -140,18 +142,32 @@ def main():
         # inside the kernel; record the variant as unsupported instead
         variants = variants[:-1]
         out["track_plwin"] = "skipped (pallas_crops unsupported for shape)"
+    if args.int8_embed:
+        # same-graph int8-embed A/B: identical stage, only the embed
+        # swapped for the W8A8 path (weights quantized from the same
+        # BN-consistent load; activation scales calibrated on one chunk)
+        from yolo_deepsort_tpu.models.quantize import quantize_reid_params
+
+        calib = np.random.default_rng(5).normal(
+            0, 1, (64, 128, 64, 3)).astype(np.float32)
+        q = quantize_reid_params(jax.device_get(reid_params), calib)
+        qparams = jax.tree_util.tree_map(jnp.asarray, q)
+        variants = variants + [
+            (s_ + "_int8", {**kw_, "embed_int8": True})
+            for s_, kw_ in variants]
     for cap in (int(c) for c in args.caps.split(",")):
       for suffix, kw in variants:
         track = make_scanned_track_stage(
             det_cfg, trk_cfg, hw, cap, compute_dtype=jnp.bfloat16,
             donate_state=False, **kw)
+        rp = qparams if kw.get("embed_int8") else reid_params
         states = init_stream_states(trk_cfg, s)
         for _ in range(3):
-            states, (outs, emit) = track(reid_params, states, frames, b7, m)
+            states, (outs, emit) = track(rp, states, frames, b7, m)
         jax.block_until_ready(outs)
         t0 = time.perf_counter()
         for _ in range(args.steps):
-            states, (outs, emit) = track(reid_params, states, frames, b7, m)
+            states, (outs, emit) = track(rp, states, frames, b7, m)
         jax.block_until_ready(outs)
         dt = (time.perf_counter() - t0) / args.steps * 1e3
         tracks = float(jnp.mean(jnp.sum(states.state == 2, axis=-1)))

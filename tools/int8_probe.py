@@ -28,14 +28,18 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def chained_ms(fn, x, iters):
+def chained_ms(fn, x, iters, inner):
+    """Per-matmul ms with the work INSIDE the graph: fn runs `inner`
+    data-chained matmuls per dispatch, so per-dispatch tunnel overhead
+    (~15-25 ms -- it swamped the first version of this probe, which
+    'measured' 0.2 TOPS on a 197-TFLOPs part) amortizes away."""
     out = fn(x)
     out.block_until_ready()
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(out if out.shape == x.shape and out.dtype == x.dtype else x)
     _ = float(np.asarray(out).ravel()[0])
-    return (time.perf_counter() - t0) / iters * 1000
+    return (time.perf_counter() - t0) / (iters * inner) * 1000
 
 
 def main():
@@ -43,7 +47,9 @@ def main():
     p.add_argument("--m", type=int, default=32768)
     p.add_argument("--k", type=int, default=256)
     p.add_argument("--n", type=int, default=256)
-    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--inner", type=int, default=50,
+                   help="data-chained matmuls per dispatch")
     args = p.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -62,17 +68,23 @@ def main():
     xi = jnp.asarray(rng.integers(-127, 128, (m, k)), jnp.int8)
     wi = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
 
+    inner = args.inner
+
     @jax.jit
     def xla_bf16(x):
-        o = jnp.dot(x, wb, preferred_element_type=jnp.float32)
-        return o.astype(jnp.bfloat16)[:, : x.shape[1]]
+        def body(_, v):
+            o = jnp.dot(v, wb, preferred_element_type=jnp.float32)
+            return o.astype(jnp.bfloat16)[:, : v.shape[1]]
+        return jax.lax.fori_loop(0, inner, body, x)
 
     @jax.jit
     def xla_int8(x):
-        o = jnp.dot(x, wi, preferred_element_type=jnp.int32)
-        # renormalize back to int8 range so chaining keeps int8 inputs
-        return jnp.clip(o // (8 * k), -127, 127).astype(jnp.int8)[
-            :, : x.shape[1]]
+        def body(_, v):
+            o = jnp.dot(v, wi, preferred_element_type=jnp.int32)
+            # renormalize back to int8 range so chaining keeps int8 inputs
+            return jnp.clip(o // (8 * k), -127, 127).astype(jnp.int8)[
+                :, : v.shape[1]]
+        return jax.lax.fori_loop(0, inner, body, x)
 
     # Pallas tiled matmuls: grid over M tiles, full K and N resident
     def pl_kernel(x_ref, w_ref, o_ref, acc_dtype, out_dtype, shift):
@@ -101,7 +113,11 @@ def main():
         @jax.jit
         def fn(x):
             w = wi if in_dtype == jnp.int8 else wb
-            return call(x, w)[:, : x.shape[1]]
+
+            def body(_, v):
+                return call(v, w)[:, : v.shape[1]]
+
+            return jax.lax.fori_loop(0, inner, body, x)
 
         return fn
 
@@ -118,7 +134,7 @@ def main():
         ("pallas_int8", pallas_int8, xi),
     ]:
         try:
-            ms = chained_ms(fn, x, args.iters)
+            ms = chained_ms(fn, x, args.iters, args.inner)
             rec[name + "_ms"] = round(ms, 3)
             rec[name + "_tops"] = round(flops / (ms / 1e3) / 1e12, 1)
         except Exception as e:  # noqa: BLE001 -- capability probe

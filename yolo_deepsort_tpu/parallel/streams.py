@@ -399,6 +399,7 @@ def make_scanned_track_stage(
     crop_window: Optional[Tuple[int, int]] = None,
     use_pallas_crops: bool = False,
     use_fused_tracker=None,  # None = auto by backend (tracker megakernel)
+    embed_int8: bool = False,
 ):
     """Tracking half of the bucketed scanned step at detection capacity
     ``cap``: rescale -> crop -> ReID embed -> scanned tracker association,
@@ -463,10 +464,18 @@ def make_scanned_track_stage(
                 )
             crops = jax.vmap(crop_fn)(flat, boxes_xyxy)
         # (K*S, cap, 128, 64, 3)
-        feats = reid_apply(
-            reid_params, crops.reshape(k * s * cap, *crops.shape[2:]),
-            compute_dtype=compute_dtype,
-        ).reshape(k * s, cap, -1)
+        flat_crops = crops.reshape(k * s * cap, *crops.shape[2:])
+        if embed_int8:
+            # reid_params is the quantized package from
+            # models/quantize.quantize_reid_params (accuracy-gated by
+            # tools/int8_gate.py before this flag may ship)
+            from ..models.quantize import reid_apply_int8
+
+            feats = reid_apply_int8(reid_params, flat_crops)
+        else:
+            feats = reid_apply(reid_params, flat_crops,
+                               compute_dtype=compute_dtype)
+        feats = feats.reshape(k * s, cap, -1)
 
         per_frame = lambda a: a.reshape(k, s, *a.shape[1:])
         img_hw = jnp.array([h, w], jnp.int32)
