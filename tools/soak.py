@@ -120,6 +120,8 @@ def soak_ingest(args):
     for t in threads:
         t.join(timeout=3)
     decode_fps = sum(counts) / (time.perf_counter() - t0)
+    print(f"[soak] decode-only ceiling {decode_fps:.1f} fps", file=sys.stderr,
+          flush=True)
 
     # ---- weights + per-stream calibration (same honest load as bench)
     plan, det_params, frames_syn, _ = bn_weights_and_frames(
@@ -146,11 +148,15 @@ def soak_ingest(args):
         img_size=args.img_size, conf_thres=float(conf_vec.mean()))
 
     def build(use_pallas_lb):
+        # small window ladder: every (bucket, window) variant that decoded
+        # content wanders into costs a multi-minute tunnel compile mid-run;
+        # two rungs cover MOT-person crops at 1080p and bound the churn
         return make_scanned_step_bucketed(
             plan, det_cfg, trk_cfg, hw, buckets=(16, 24, 32, 36, 40, 48),
             compute_dtype=jnp.bfloat16, use_pallas_letterbox=use_pallas_lb,
             use_pallas_crops=None if use_pallas_lb else False,
             donate_state=False,
+            windows=((240, 128), (320, 192)),
         )
 
     step = build(True)
@@ -188,7 +194,10 @@ def soak_ingest(args):
             while not pool.push(i, frame):
                 if stop.is_set():
                     return
-                time.sleep(0.0005)
+                # coarse backpressure sleep: finer spins (0.5 ms x 8
+                # threads) starve the main thread's GIL on a 1-core host
+                # and livelock the whole soak
+                time.sleep(0.02)
             pushed[i] += 1
         cap.release()
 
@@ -205,14 +214,16 @@ def soak_ingest(args):
         for j in range(k):
             t0 = time.perf_counter()
             while min(pool.available_frames(i) for i in range(s)) == 0:
-                time.sleep(0.0005)
+                time.sleep(0.002)
             waited += time.perf_counter() - t0
             batch, valid, n = pool.pop_batch()
             chunk_buf[j] = batch
         return waited
 
     # warmup/compile on a first chunk (Pallas-kernel fallback like bench.py)
+    print("[soak] warmup: assembling first chunk", file=sys.stderr, flush=True)
     assemble()
+    print("[soak] warmup: compiling/stepping", file=sys.stderr, flush=True)
     dev_frames = jnp.asarray(chunk_buf)
     try:
         for _ in range(2):
