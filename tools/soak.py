@@ -66,6 +66,20 @@ def _ensure_clips(clip_dir, s, hw, n_frames, fps=30.0):
     return paths
 
 
+def _bound_label(achieved, decode_only, decode_during, transfer_ceiling):
+    """Name the limiting resource. decode_during (frames actually pushed
+    per second DURING the run) catches the 1-core case where decode,
+    assembly and dispatch serialize on one host core and none of the
+    isolated ceilings is individually binding."""
+    if decode_only < achieved * 1.1:
+        return "host-decode"
+    if transfer_ceiling < achieved * 1.3:
+        return "h2d-transfer"
+    if decode_during < achieved * 1.6:
+        return "host-serialized (decode+assembly+dispatch on one core)"
+    return "chip"
+
+
 def soak_ingest(args):
     """END-TO-END ingest soak (SURVEY.md section 7 hard part 6): host video
     decode threads -> native C++ frame rings -> chunk assembly -> host->
@@ -286,9 +300,8 @@ def soak_ingest(args):
         "dets_bucket_max": step.last_max_count,
         "h2d_gbps": round(h2d_gbps, 2),
         "transfer_ceiling_fps": round(transfer_ceiling_fps, 1),
-        "bound": ("host-decode" if decode_fps < frames_total / dt * 1.1
-                  else ("h2d-transfer" if transfer_ceiling_fps
-                        < frames_total / dt * 1.3 else "chip")),
+        "bound": _bound_label(frames_total / dt, decode_fps,
+                              sum(pushed) / dt, transfer_ceiling_fps),
         "failures": failures,
         "ok": not failures,
     }
