@@ -384,6 +384,9 @@ def main():
     if getattr(step, "last_window", None) is not None:
         rec["crop_window"] = list(step.last_window)
         rec["max_crop_hw"] = list(step.last_crop_hw)
+    if hasattr(step, "saturation"):
+        # no-silent-caps: nonzero means detections were capped somewhere
+        rec.update(step.saturation())
     if dets_per_frame is not None:
         rec["dets_per_frame"] = round(dets_per_frame, 1)
     if p50 is not None:

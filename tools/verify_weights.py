@@ -86,6 +86,11 @@ def main():
         d = np.where(same_special, 0.0, np.abs(j64 - o))
         rel = d / (np.abs(o) + 1e-6)
         flag = " <-- DIVERGES" if d.max() > args.threshold else ""
+        # matched non-finites compare equal but make the layer unverifiable
+        # (both sides overflowing identically proves nothing) -- say so
+        n_special = int(same_special.sum())
+        if n_special:
+            flag += f" [non-finite at layer {i}: {n_special} matched values compared equal -- unverifiable]"
         print(f"{i:>4} {mdef['type']:<14} {str(o.shape):<22} "
               f"{d.max():>10.2e} {rel.max():>10.2e}{flag}")
         if d.max() > worst[0]:

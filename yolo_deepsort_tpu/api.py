@@ -48,6 +48,7 @@ class _GeometryCache:
         from collections import OrderedDict
 
         self._d = OrderedDict()
+        self._warm = set()
         self.maxsize = maxsize
 
     def get(self, key, builder):
@@ -57,13 +58,37 @@ class _GeometryCache:
         fn = builder()
         self._d[key] = fn
         while len(self._d) > self.maxsize:
-            self._d.popitem(last=False)
+            evicted_key, _ = self._d.popitem(last=False)
+            self._warm.discard(evicted_key)
         return fn
 
     def replace(self, key, builder):
         """Force-rebuild (first-call Pallas fallback path)."""
         self._d.pop(key, None)
+        self._warm.discard(key)
         return self.get(key, builder)
+
+    def is_warm(self, key) -> bool:
+        """True once a step for this key has executed successfully.
+
+        Fallback guards use this: a FIRST invocation may fail because the
+        Pallas letterbox cannot compile on this backend (rebuild with the
+        XLA letterbox); a WARM step failing means a real runtime error
+        (OOM, device fault) that must propagate, not be silently absorbed
+        into a ~10x-slower permanently-pinned XLA-letterbox step."""
+        return key in self._warm
+
+    def mark_warm(self, key) -> None:
+        self._warm.add(key)
+
+
+def _log_letterbox_fallback(where: str, hw) -> None:
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "%s: Pallas letterbox failed on first call for geometry %s; "
+        "rebuilding this step with the XLA letterbox (slower).", where, hw,
+    )
 
 
 def _letterbox_fn(size: int, interp: str = "bilinear",
@@ -197,10 +222,16 @@ class ImageDetector:
         try:
             boxes, mask = step(self.model.params, img_rgb)
         except Exception:
-            # first-call Pallas letterbox fallback (backends where the
-            # kernel cannot compile); an already-warm step never re-raises
+            # First-call-only Pallas letterbox fallback (backends where the
+            # kernel cannot compile). A warm step failing is a real runtime
+            # error (OOM, device fault): re-raise instead of silently
+            # pinning the ~10x-slower XLA-letterbox step.
+            if self._steps.is_warm((h, w)):
+                raise
+            _log_letterbox_fallback("ImageDetector.detect", (h, w))
             step = self._step_for(h, w, force_xla_letterbox=True)
             boxes, mask = step(self.model.params, img_rgb)
+        self._steps.mark_warm((h, w))
         return np.asarray(boxes)[np.asarray(mask)]
 
     def draw(self, img_rgb: np.ndarray, detections: np.ndarray) -> np.ndarray:
@@ -577,11 +608,16 @@ class VideoTracker:
             states, (outputs, emit) = step(
                 self.model.params, self.reid_params, states, frames_dev)
         except Exception:
-            # first-call Pallas letterbox fallback (the bucketed step's own
-            # per-variant fallback covers the crop kernel, not detect)
+            # First-call-only Pallas letterbox fallback (the bucketed step's
+            # own per-variant fallback covers the crop kernel, not detect);
+            # warm-step failures are real runtime errors -- re-raise.
+            if self._steps.is_warm((h, w, "chunked")):
+                raise
+            _log_letterbox_fallback("VideoTracker.track_frames", (h, w))
             step = self._chunk_step_for(h, w, k, force_xla_letterbox=True)
             states, (outputs, emit) = step(
                 self.model.params, self.reid_params, states, frames_dev)
+        self._steps.mark_warm((h, w, "chunked"))
         self.state = jax.tree_util.tree_map(lambda x: x[0], states)
         return outputs, emit
 
@@ -614,10 +650,15 @@ class VideoTracker:
             new_state, outputs, emit, _, _ = step(
                 self.model.params, self.reid_params, self.state, frame)
         except Exception:
-            # first-call Pallas letterbox fallback
+            # first-call-only Pallas letterbox fallback; warm-step failures
+            # are real runtime errors -- re-raise.
+            if self._steps.is_warm((h, w)):
+                raise
+            _log_letterbox_fallback("VideoTracker.track_frame", (h, w))
             step = self._step_for(h, w, force_xla_letterbox=True)
             new_state, outputs, emit, _, _ = step(
                 self.model.params, self.reid_params, self.state, frame)
+        self._steps.mark_warm((h, w))
         self.state = new_state
         out = np.asarray(outputs)[np.asarray(emit)]
         return out.astype(np.int64) if len(out) else np.zeros((0, 5), np.int64)

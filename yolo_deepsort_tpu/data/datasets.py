@@ -23,10 +23,10 @@ from typing import Iterator, Tuple
 
 import numpy as np
 
-# The numpy letterbox from the executable spec is reused here on purpose:
-# host-side dataset code must match the device letterbox bit-for-bit, and
-# specs/ is the single source of truth both are tested against.
-from specs.letterbox_np import letterbox as letterbox_np
+# Host-side dataset code must match the device letterbox bit-for-bit; the
+# numpy implementation lives in-package and specs/letterbox_np re-exports it
+# for the oracle tests.
+from yolo_deepsort_tpu.data.letterbox_np import letterbox as letterbox_np
 
 
 def _load_image(path: str) -> np.ndarray:

@@ -43,6 +43,10 @@ def _nms_single(
     score = jnp.where(valid, obj * cls_conf, -1.0)
 
     k = min(max_boxes, pred.shape[0])
+    # saturation telemetry (no silent caps): candidates above threshold
+    # that top-k dropped before NMS ever saw them
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    dropped_topk = jnp.maximum(n_valid - k, 0)
     top_score, top_idx = jax.lax.top_k(score, k)  # sorted desc
     rows = pred[top_idx]
     boxes = xywh_to_xyxy(rows[:, :4])  # (K, 4)
@@ -84,10 +88,14 @@ def _nms_single(
         alive = alive & ~invalid
         return i + 1, alive, out, out_mask
 
-    _, _, out, out_mask = jax.lax.while_loop(
+    _, alive_end, out, out_mask = jax.lax.while_loop(
         cond, body, (jnp.int32(0), alive, out, out_mask)
     )
-    return out, out_mask
+    # candidates still alive when the output filled: max_dets saturated
+    # (each would have emitted or merged into at least one more box)
+    leftover = jnp.sum(alive_end.astype(jnp.int32))
+    sat = jnp.stack([dropped_topk, leftover]).astype(jnp.int32)
+    return out, out_mask, sat
 
 
 @partial(
@@ -99,7 +107,7 @@ def _batched_nms_per_image(
     nms_thres: float,
     max_boxes: int,
     max_dets: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     fn = partial(
         _nms_single, nms_thres=nms_thres, max_boxes=max_boxes,
         max_dets=max_dets,
@@ -120,6 +128,27 @@ def batched_nms(
     ``conf_thres`` is a scalar, or a per-image (N,) array (used by the
     load-equalized bench: per-stream thresholds keep detection counts --
     and so the selected capacity bucket -- uniform across streams)."""
+    dets, mask, _ = batched_nms_with_stats(
+        pred, conf_thres, nms_thres, max_boxes, max_dets
+    )
+    return dets, mask
+
+
+def batched_nms_with_stats(
+    pred: jnp.ndarray,
+    conf_thres=0.5,
+    nms_thres: float = 0.4,
+    max_boxes: int = 512,
+    max_dets: int = 64,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """batched_nms + per-image saturation counters (no silent caps).
+
+    Third return: sat (N, 2) int32 = [dropped_topk, leftover_alive] --
+    candidates above threshold that the ``max_boxes`` top-k pre-selection
+    dropped, and candidates still alive when the ``max_dets`` output
+    filled. Both are 0 whenever the fixed capacities held everything;
+    nonzero values mean detections were silently capped and the caller
+    should surface it (PipelineStats / bench JSON)."""
     if not isinstance(conf_thres, (float, int)):
         return _batched_nms_per_image(
             pred, jnp.asarray(conf_thres, jnp.float32), nms_thres, max_boxes,

@@ -24,7 +24,7 @@ from ..ops.crops import (
 )
 from ..ops.letterbox import letterbox, rescale_boxes
 from ..ops.pallas_letterbox import pallas_letterbox_batch
-from ..ops.nms import batched_nms
+from ..ops.nms import batched_nms, batched_nms_with_stats
 from ..tracking.tracker import init_tracker_state, tracker_step
 from ..tracking.tracker_pallas import (
     tracker_step_fused_batched,
@@ -337,9 +337,12 @@ def make_scanned_detect_stage(
     NMS over the whole (K, S) chunk at FULL det capacity.
 
     Returns jitted (det_params, frames (K,S,H,W,3)) ->
-    (boxes7 (K*S, D, 7), mask (K*S, D), stats (3,) int32) where stats =
-    [max_count, max_crop_h, max_crop_w] over the chunk -- the one host
-    readback that selects the downstream capacity bucket and crop window.
+    (boxes7 (K*S, D, 7), mask (K*S, D), stats (5,) int32) where stats =
+    [max_count, max_crop_h, max_crop_w, nms_dropped_topk, nms_dropped_dets]
+    over the chunk -- the one host readback that selects the downstream
+    capacity bucket and crop window. The last two are saturation counters
+    (no silent caps): detections above threshold that the NMS max_boxes
+    top-k or max_dets output capacity dropped anywhere in the chunk.
     max_count is the largest per-frame detection count (NMS emits valid rows
     as a contiguous prefix -- ops/nms.py body writes slot i on iteration i --
     so any capacity >= max_count preserves every detection exactly);
@@ -364,7 +367,7 @@ def make_scanned_detect_stage(
             plan, det_params, xs, compute_dtype=compute_dtype
         )
         conf = det_cfg.conf_thres if thr is None else jnp.tile(thr, k)
-        boxes7, mask = batched_nms(
+        boxes7, mask, nms_sat = batched_nms_with_stats(
             decoded, conf, det_cfg.nms_thres,
             det_cfg.max_boxes, trk_cfg.max_dets,
         )
@@ -381,7 +384,8 @@ def make_scanned_detect_stage(
         cw = jnp.where(consumed, x2 - x1, 0)
         stats = jnp.stack(
             [max_count, jnp.max(ch).astype(jnp.int32),
-             jnp.max(cw).astype(jnp.int32)]
+             jnp.max(cw).astype(jnp.int32),
+             jnp.sum(nms_sat[:, 0]), jnp.sum(nms_sat[:, 1])]
         )
         return boxes7, mask, stats
 
@@ -591,6 +595,19 @@ class BucketedScannedStep:
         self.last_max_count: Optional[int] = None
         self.last_window: Optional[Tuple[int, int]] = None
         self.last_crop_hw: Optional[Tuple[int, int]] = None
+        # cumulative saturation counters (no silent caps)
+        self.sat_nms_topk = 0    # dets lost to the NMS max_boxes top-k
+        self.sat_nms_dets = 0    # dets lost to the max_dets output capacity
+        self.sat_bucket_chunks = 0  # chunks whose count exceeded the ladder
+
+    def saturation(self) -> dict:
+        """Cumulative capacity-saturation counters; all-zero means the
+        fixed capacities held every detection this step ever saw."""
+        return {
+            "sat_nms_topk": self.sat_nms_topk,
+            "sat_nms_dets": self.sat_nms_dets,
+            "sat_bucket_chunks": self.sat_bucket_chunks,
+        }
 
     def _bucket_for(self, count: int) -> int:
         for b in self._buckets:
@@ -614,15 +631,24 @@ class BucketedScannedStep:
         return (frames, boxes7, mask, stats)
 
     def track(self, reid_params, states, handle):
-        """Finish a chunk started with detect(): reads the 3-int stats
-        (max count, max crop extents), picks the capacity bucket + crop
-        window, runs the track stage."""
+        """Finish a chunk started with detect(): reads the 5-int stats
+        (max count, max crop extents, NMS saturation counters), picks the
+        capacity bucket + crop window, runs the track stage."""
         frames, boxes7, mask, stats = handle
-        count, max_h, max_w = (int(v) for v in np.asarray(stats))
+        count, max_h, max_w, drop_topk, drop_dets = (
+            int(v) for v in np.asarray(stats))
         cap = self._bucket_for(count)
         win = self._window_for(max_h, max_w)
         self.last_bucket, self.last_max_count = cap, count
         self.last_window, self.last_crop_hw = win, (max_h, max_w)
+        # no-silent-caps accounting (cumulative over the step's lifetime):
+        # detections lost to the NMS max_boxes top-k / max_dets capacity,
+        # plus chunks where the bucket ladder itself saturated (count
+        # exceeded the largest bucket so the track stage truncated rows)
+        self.sat_nms_topk += drop_topk
+        self.sat_nms_dets += drop_dets
+        if count > self._buckets[-1]:
+            self.sat_bucket_chunks += 1
         fn = self._track.get((cap, win))
         if fn is None:
             fn = self._track[(cap, win)] = self._mk(cap, win)
@@ -636,6 +662,13 @@ class BucketedScannedStep:
             # that already ran once are in the jit cache and never re-trace,
             # so this retry only ever fires on a variant's first invocation.
             if (cap, win) in self._compiled:
+                raise
+            # Donation hazard: if the failed call already began executing
+            # (donation committed under donate_state=True), `states` points
+            # at deleted buffers and a retry would re-raise confusingly --
+            # only compile-time failures (buffers still live) are retryable.
+            if any(getattr(x, "is_deleted", lambda: False)()
+                   for x in jax.tree_util.tree_leaves(states)):
                 raise
             fn = self._track[(cap, win)] = self._mk(cap, win,
                                                     allow_pallas=False)

@@ -274,19 +274,22 @@ def _tracker_kernel(
     # ---- initiate: pair r-th unmatched det with r-th free slot
     free = st1 == STATE_FREE  # (T, 1)
     unmatched_d = (mask_row & (own < 0) & real_col).astype(jnp.int32)
+    # shift ladders derived from the (static) padded sizes so any
+    # max_dets/max_tracks is covered (a fixed ladder topping out at 256
+    # would silently mis-rank beyond 512 lanes)
     drank = unmatched_d
-    for sh in (1, 2, 4, 8, 16, 32, 64, 128, 256):  # inclusive lane cumsum
-        if sh >= nc_pad:
-            break
+    sh = 1
+    while sh < nc_pad:  # inclusive lane cumsum
         drank = drank + jnp.concatenate(
             [jnp.zeros((1, sh), jnp.int32), drank[:, :-sh]], axis=1)
+        sh *= 2
     drank0 = drank - 1
     frank = free.astype(jnp.int32)
-    for sh in (1, 2, 4, 8, 16, 32, 64, 128, 256):  # sublane cumsum
-        if sh >= t:
-            break
+    sh = 1
+    while sh < t:  # sublane cumsum
         frank = frank + jnp.concatenate(
             [jnp.zeros((sh, 1), jnp.int32), frank[:-sh, :]], axis=0)
+        sh *= 2
     frank0 = frank - 1
     n_free = jnp.sum(free.astype(jnp.int32))
     sel_new = (free & (unmatched_d > 0) & (frank0 == drank0)
@@ -299,8 +302,12 @@ def _tracker_kernel(
 
     # ---- matched + new measurements in one MXU one-hot matmul
     sel_all = (sel_i + sel_new_i).astype(jnp.float32)  # disjoint rows
+    # HIGHEST precision: this dot is an exact f32 selection (one-hot rows);
+    # default MXU precision may round f32 operands toward bf16, perturbing
+    # measurement coords by pixels at 1080p.
     meas = jnp.dot(sel_all, detr_ref[...],
-                   preferred_element_type=jnp.float32)  # (T, 128)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)  # (T, 128)
     mz = [_col(meas, k) for k in range(4)]  # xyah measurement columns
 
     # ---- KF update (kalman.update): gain = P H^T S^-1 via the Cholesky

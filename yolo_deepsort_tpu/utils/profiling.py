@@ -83,6 +83,12 @@ class PipelineStats:
     max_track_id: int = 0
     active_tracks: int = 0
     confirmed_tracks: int = 0
+    # no-silent-caps telemetry: frames where every track lane was occupied
+    # (a new detection on such a frame could not have started a track) and
+    # NMS-capacity drops fed in from BucketedScannedStep.saturation()
+    lane_saturated_frames: int = 0
+    sat_nms_topk: int = 0
+    sat_nms_dets: int = 0
 
     def update(self, det_mask, tracker_state, emit_mask) -> None:
         self.frames += 1
@@ -91,9 +97,17 @@ class PipelineStats:
         st = np.asarray(tracker_state.state)
         self.active_tracks = int((st > 0).sum())
         self.confirmed_tracks = int((st == 2).sum())
+        if self.active_tracks == st.size:
+            self.lane_saturated_frames += 1
         self.max_track_id = max(
             self.max_track_id, int(np.asarray(tracker_state.next_id)) - 1
         )
+
+    def absorb_saturation(self, sat: Dict[str, int]) -> None:
+        """Fold BucketedScannedStep.saturation() counters in (cumulative
+        totals there; store the latest totals here)."""
+        self.sat_nms_topk = int(sat.get("sat_nms_topk", 0))
+        self.sat_nms_dets = int(sat.get("sat_nms_dets", 0))
 
     def as_dict(self) -> Dict[str, int]:
         return dataclasses.asdict(self)
