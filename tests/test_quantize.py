@@ -140,3 +140,21 @@ def test_track_stage_int8_embed_smoke():
     states, (outs, emit) = track(qparams, states, frames, b7, m)
     assert outs.shape[:2] == (k, s) and emit.shape[:2] == (k, s)
     assert bool(jnp.isfinite(states.mean).all())
+
+    # the int8-RESIDENT route (the Pallas conv kernel's dataflow, XLA twin
+    # on CPU) must run through the same stage wiring
+    from yolo_deepsort_tpu.models.quantize import (
+        quantize_reid_params_resident,
+    )
+
+    qres = jax.tree_util.tree_map(
+        jnp.asarray,
+        quantize_reid_params_resident(
+            params, rng.normal(0, 1, (4, 128, 64, 3)).astype(np.float32)))
+    track_res = make_scanned_track_stage(
+        det_cfg, trk_cfg, hw, cap=8, compute_dtype=jnp.bfloat16,
+        donate_state=False, embed_int8="resident", use_fused_tracker=False)
+    states2 = init_stream_states(trk_cfg, s)
+    states2, (outs2, emit2) = track_res(qres, states2, frames, b7, m)
+    assert outs2.shape[:2] == (k, s)
+    assert bool(jnp.isfinite(states2.mean).all())

@@ -145,22 +145,37 @@ def main():
     if args.int8_embed:
         # same-graph int8-embed A/B: identical stage, only the embed
         # swapped for the W8A8 path (weights quantized from the same
-        # BN-consistent load; activation scales calibrated on one chunk)
-        from yolo_deepsort_tpu.models.quantize import quantize_reid_params
+        # BN-consistent load; activation scales calibrated on one chunk).
+        # Three int8 routes: per-layer XLA (round-3: measured negative),
+        # int8-resident XLA twin, and the fused Pallas conv kernels.
+        from yolo_deepsort_tpu.models.quantize import (
+            quantize_reid_params,
+            quantize_reid_params_resident,
+        )
 
         calib = np.random.default_rng(5).normal(
             0, 1, (64, 128, 64, 3)).astype(np.float32)
-        q = quantize_reid_params(jax.device_get(reid_params), calib)
-        qparams = jax.tree_util.tree_map(jnp.asarray, q)
+        rp_host = jax.device_get(reid_params)
+        qparams = jax.tree_util.tree_map(
+            jnp.asarray, quantize_reid_params(rp_host, calib))
+        qres = jax.tree_util.tree_map(
+            jnp.asarray, quantize_reid_params_resident(rp_host, calib))
+        base_variants = [v for v in variants if v[0] in ("", "_plwin")]
         variants = variants + [
             (s_ + "_int8", {**kw_, "embed_int8": True})
-            for s_, kw_ in variants]
+            for s_, kw_ in base_variants] + [
+            (s_ + "_int8res", {**kw_, "embed_int8": "resident"})
+            for s_, kw_ in base_variants] + [
+            (s_ + "_int8pl", {**kw_, "embed_int8": "resident_pallas"})
+            for s_, kw_ in base_variants]
     for cap in (int(c) for c in args.caps.split(",")):
       for suffix, kw in variants:
         track = make_scanned_track_stage(
             det_cfg, trk_cfg, hw, cap, compute_dtype=jnp.bfloat16,
             donate_state=False, **kw)
-        rp = qparams if kw.get("embed_int8") else reid_params
+        ei = kw.get("embed_int8")
+        rp = (qres if ei in ("resident", "resident_pallas")
+              else qparams if ei else reid_params)
         states = init_stream_states(trk_cfg, s)
         for _ in range(3):
             states, (outs, emit) = track(rp, states, frames, b7, m)

@@ -100,8 +100,10 @@ def main():
 
     from yolo_deepsort_tpu.models.quantize import (
         quantize_reid_params,
+        quantize_reid_params_resident,
         reid_apply_f32_via_graph,
         reid_apply_int8,
+        reid_apply_int8_resident,
     )
     from yolo_deepsort_tpu.models.reid import fold_train_params, reid_apply
     from yolo_deepsort_tpu.train.reid_train import (
@@ -153,10 +155,15 @@ def main():
         lambda x: reid_apply(folded, x, compute_dtype=jnp.bfloat16))
     embed_int8 = jax.jit(lambda x: reid_apply_int8(qparams, x))
     embed_walk = jax.jit(lambda x: reid_apply_f32_via_graph(folded, x))
+    # resident path: int8 activations END-TO-END between stage-2..4 convs
+    # (the dataflow the Pallas conv kernel serves); adds one int8 rounding
+    # on down-block shortcuts vs the per-layer path -- gated separately
+    qres = quantize_reid_params_resident(folded, x_train[:64])
+    embed_res = jax.jit(lambda x: reid_apply_int8_resident(qres, x))
 
     feats = {}
     for name, fn in [("f32", embed_f32), ("bf16", embed_bf16),
-                     ("int8", embed_int8)]:
+                     ("int8", embed_int8), ("int8_res", embed_res)]:
         feats[name] = (np.asarray(fn(qx)), np.asarray(fn(gx)))
     # walker self-check: the int8 path's graph walker in f32 must agree
     # with models.reid.reid_apply to float tolerance
@@ -168,11 +175,15 @@ def main():
         feats["int8"][0] * feats["f32"][0], axis=1)))
     cos_bf16 = float(np.mean(np.sum(
         feats["bf16"][0] * feats["f32"][0], axis=1)))
+    cos_res = float(np.mean(np.sum(
+        feats["int8_res"][0] * feats["f32"][0], axis=1)))
 
     ok = (walker_max_diff < 1e-4
           and train_acc > 0.9
           and r1["int8"] >= r1["bf16"] - 0.01
-          and cos_int8 >= 0.99)
+          and cos_int8 >= 0.99
+          and r1["int8_res"] >= r1["bf16"] - 0.01
+          and cos_res >= 0.99)
     rec = {
         "metric": "int8 embed accuracy gate",
         "ok": ok,
@@ -180,8 +191,10 @@ def main():
         "rank1_f32": round(r1["f32"], 4),
         "rank1_bf16": round(r1["bf16"], 4),
         "rank1_int8": round(r1["int8"], 4),
+        "rank1_int8_res": round(r1["int8_res"], 4),
         "cos_bf16_vs_f32": round(cos_bf16, 5),
         "cos_int8_vs_f32": round(cos_int8, 5),
+        "cos_int8_res_vs_f32": round(cos_res, 5),
         "walker_max_diff": walker_max_diff,
         "ids": args.ids,
         "steps": args.steps,

@@ -403,7 +403,9 @@ def make_scanned_track_stage(
     crop_window: Optional[Tuple[int, int]] = None,
     use_pallas_crops: bool = False,
     use_fused_tracker=None,  # None = auto by backend (tracker megakernel)
-    embed_int8: bool = False,
+    embed_int8=False,  # False | True (per-layer XLA W8A8) | "resident"
+    #                    (int8-resident XLA twin) | "resident_pallas"
+    #                    (fused Pallas int8 conv kernels, TPU)
 ):
     """Tracking half of the bucketed scanned step at detection capacity
     ``cap``: rescale -> crop -> ReID embed -> scanned tracker association,
@@ -469,7 +471,18 @@ def make_scanned_track_stage(
             crops = jax.vmap(crop_fn)(flat, boxes_xyxy)
         # (K*S, cap, 128, 64, 3)
         flat_crops = crops.reshape(k * s * cap, *crops.shape[2:])
-        if embed_int8:
+        if embed_int8 in ("resident", "resident_pallas"):
+            # reid_params is the resident quantized package from
+            # models/quantize.quantize_reid_params_resident: int8
+            # activations end-to-end through stages 2-4, fused Pallas
+            # int8 convs on TPU (accuracy-gated by tools/int8_gate.py
+            # int8_res rows)
+            from ..models.quantize import reid_apply_int8_resident
+
+            feats = reid_apply_int8_resident(
+                reid_params, flat_crops,
+                use_pallas=embed_int8 == "resident_pallas")
+        elif embed_int8:
             # reid_params is the quantized package from
             # models/quantize.quantize_reid_params (accuracy-gated by
             # tools/int8_gate.py before this flag may ship)
