@@ -116,6 +116,11 @@ def main():
     p.add_argument("--skip-k1-latency", action="store_true",
                    help="skip the single-frame low-latency mode measurement")
     p.add_argument("--f32", action="store_true", help="disable bf16 compute")
+    p.add_argument("--embed-int8", default="off",
+                   choices=["off", "resident", "pallas"],
+                   help="int8-resident ReID embed (W8A8, accuracy-gated by "
+                        "tools/int8_gate.py); 'pallas' uses the fused int8 "
+                        "conv kernels (TPU)")
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="capture a jax profiler trace of the timed region "
                         "into DIR (host-side events only through the axon "
@@ -212,6 +217,16 @@ def main():
     det_params = W.fold_inference_params(raw, plan.defs())
 
     det_params = jax.tree_util.tree_map(jnp.asarray, det_params)
+    embed_int8 = {"off": False, "resident": "resident",
+                  "pallas": "resident_pallas"}[args.embed_int8]
+    if embed_int8:
+        from yolo_deepsort_tpu.models.quantize import (
+            quantize_reid_params_resident,
+        )
+
+        calib = np.random.default_rng(5).normal(
+            0, 1, (64, 128, 64, 3)).astype(np.float32)
+        reid_params = quantize_reid_params_resident(reid_params, calib)
     reid_params = jax.tree_util.tree_map(jnp.asarray, reid_params)
 
     # ---- load calibration: per-STREAM conf thresholds so every stream
@@ -257,8 +272,13 @@ def main():
                 # --no-pallas-letterbox escape hatch (and the warmup
                 # fallback) disables both Pallas kernels together
                 use_pallas_crops=None if use_pallas_lb else False,
+                embed_int8=embed_int8,
             )
         if k > 1:
+            if embed_int8:
+                raise SystemExit(
+                    "--embed-int8 requires the bucketed step "
+                    "(drop --no-bucketing)")
             return make_scanned_step(
                 plan, det_cfg, trk_cfg, (args.frame_h, args.frame_w), k,
                 compute_dtype=compute_dtype, use_pallas_letterbox=use_pallas_lb,
@@ -266,6 +286,7 @@ def main():
         return make_batched_step(
             plan, det_cfg, trk_cfg, (args.frame_h, args.frame_w),
             compute_dtype=compute_dtype, use_pallas_letterbox=use_pallas_lb,
+            embed_int8=embed_int8,
         )
 
     step = build(use_pallas)
@@ -355,7 +376,7 @@ def main():
         step1 = make_batched_step(
             plan, det_cfg, trk_cfg, (args.frame_h, args.frame_w),
             compute_dtype=compute_dtype, use_pallas_letterbox=use_pallas,
-            **k1_kw,
+            embed_int8=embed_int8, **k1_kw,
         )
         st1 = init_stream_states(trk_cfg, s)
         f1 = frames[0]
@@ -381,6 +402,8 @@ def main():
         "capacity_bucket": getattr(step, "last_bucket", args.max_dets),
         "box_prior": args.box_prior,
     }
+    if embed_int8:
+        rec["embed_int8"] = args.embed_int8
     if getattr(step, "last_window", None) is not None:
         rec["crop_window"] = list(step.last_window)
         rec["max_crop_hw"] = list(step.last_crop_hw)

@@ -119,6 +119,9 @@ def make_batched_step(
     use_fused_tracker=None,  # None = auto by backend (tracker megakernel)
     cap: Optional[int] = None,  # slice post-NMS dets to top-``cap`` by score
     crop_window: Optional[Tuple[int, int]] = None,  # windowed ReID crops
+    embed_int8=False,  # False | "resident" | "resident_pallas" (fused-
+    #                    tracker path only; reid_params must be the
+    #                    quantize_reid_params_resident package)
 ):
     """Multi-stream step: (det_params, reid_params, states, frames (S,H,W,3))
     -> (states, (outputs (S,T,5), emit (S,T))). Model params are broadcast;
@@ -203,10 +206,18 @@ def make_batched_step(
         else:
             crops = dense(frames, bxyxy)
         s = crops.shape[0]
-        feats = reid_apply(
-            reid_params, crops.reshape(s * d, *crops.shape[2:]),
-            compute_dtype=compute_dtype,
-        ).reshape(s, d, -1)
+        if embed_int8 in ("resident", "resident_pallas"):
+            from ..models.quantize import reid_apply_int8_resident
+
+            feats = reid_apply_int8_resident(
+                reid_params, crops.reshape(s * d, *crops.shape[2:]),
+                use_pallas=embed_int8 == "resident_pallas",
+            ).reshape(s, d, -1)
+        else:
+            feats = reid_apply(
+                reid_params, crops.reshape(s * d, *crops.shape[2:]),
+                compute_dtype=compute_dtype,
+            ).reshape(s, d, -1)
         img_hw = jnp.array(frame_hw, jnp.int32)
         states, outputs, emit = tracker_step_fused_batched(
             cfg_c, states, tlwh, conf, feats, mask, img_hw
@@ -565,6 +576,9 @@ class BucketedScannedStep:
             (160, 96), (240, 128), (320, 192), (640, 384),
         ),
         use_pallas_crops: Optional[bool] = None,  # None = auto by backend
+        embed_int8=False,  # False | "resident" | "resident_pallas": the
+        #                    int8-resident ReID embed (reid_params must be
+        #                    the quantize_reid_params_resident package)
     ):
         h, w = frame_hw
         if use_pallas_crops is None:
@@ -593,12 +607,16 @@ class BucketedScannedStep:
                 from ..ops.pallas_crops import pallas_crops_supported
 
                 pallas_ok = pallas_crops_supported(h, w, win[0], win[1])
+            ei = embed_int8
+            if ei == "resident_pallas" and not allow_pallas:
+                ei = "resident"  # kernel-failure fallback keeps int8 route
             return make_scanned_track_stage(
                 det_cfg, trk_cfg, frame_hw, cap,
                 tracked_class_ids=tracked_class_ids,
                 compute_dtype=compute_dtype, donate_state=donate_state,
                 crop_window=win, use_pallas_crops=pallas_ok,
                 use_fused_tracker=None if allow_pallas else False,
+                embed_int8=ei,
             )
 
         self._mk = _mk
@@ -709,13 +727,14 @@ def make_scanned_step_bucketed(
         (160, 96), (240, 128), (320, 192), (640, 384),
     ),
     use_pallas_crops: Optional[bool] = None,  # None = auto by backend
+    embed_int8=False,
 ) -> BucketedScannedStep:
     return BucketedScannedStep(
         plan, det_cfg, trk_cfg, frame_hw, buckets=buckets,
         tracked_class_ids=tracked_class_ids, compute_dtype=compute_dtype,
         donate_state=donate_state, use_pallas_letterbox=use_pallas_letterbox,
         conf_thres_per_stream=conf_thres_per_stream, windows=windows,
-        use_pallas_crops=use_pallas_crops,
+        use_pallas_crops=use_pallas_crops, embed_int8=embed_int8,
     )
 
 
