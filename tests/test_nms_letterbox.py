@@ -108,3 +108,25 @@ def test_rescale_boxes_matches_oracle():
     out2 = np.asarray(rescale_boxes(boxes, 416, 1920, 1080))
     exp2 = rescale_np(boxes.astype(np.float64), 416, (1920, 1080))
     np.testing.assert_allclose(out2, exp2, rtol=1e-4, atol=1e-3)
+
+
+def test_nms_prefix_property_smaller_max_dets():
+    """NMS at a smaller max_dets equals the larger-capacity run's prefix
+    (rows emit score-descending into contiguous slots) -- the property the
+    K=1 low-latency path relies on to run NMS at ``cap`` directly instead
+    of slicing a full-capacity run."""
+    rng = np.random.default_rng(42)
+    n, b, c = 2, 400, 8
+    pred = np.zeros((n, b, 5 + c), np.float32)
+    pred[..., 0:2] = rng.uniform(40, 200, (n, b, 2))
+    pred[..., 2:4] = rng.uniform(10, 60, (n, b, 2))
+    pred[..., 4] = rng.uniform(0, 1, (n, b))
+    pred[..., 5:] = rng.uniform(0, 1, (n, b, c))
+    big, big_mask = batched_nms(pred, 0.3, 0.5, max_boxes=256, max_dets=32)
+    small, small_mask = batched_nms(pred, 0.3, 0.5, max_boxes=256,
+                                    max_dets=12)
+    np.testing.assert_array_equal(np.asarray(small_mask),
+                                  np.asarray(big_mask)[:, :12])
+    np.testing.assert_array_equal(
+        np.asarray(small)[np.asarray(small_mask)],
+        np.asarray(big)[:, :12][np.asarray(small_mask)])

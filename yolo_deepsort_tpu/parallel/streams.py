@@ -161,8 +161,13 @@ def make_batched_step(
         cfg_c = dataclasses.replace(trk_cfg, max_dets=cap)
 
     def run(det_params, reid_params, states, frames):
+        # cfg_c: NMS runs at the ``cap`` capacity directly -- it emits rows
+        # score-descending into a contiguous prefix, so its first ``cap``
+        # outputs are identical to running at max_dets and slicing, and the
+        # while_loop does cap-many iterations instead of max_dets-many
+        # (K=1 latency lever; non-fused paths have cfg_c == trk_cfg)
         fn = partial(
-            fused_frame_step, plan, det_cfg, trk_cfg, frame_hw,
+            fused_frame_step, plan, det_cfg, cfg_c, frame_hw,
             tracked_class_ids=tracked_class_ids, compute_dtype=compute_dtype,
             return_dets="boxes" if fused else False,
         )
