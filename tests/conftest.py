@@ -39,3 +39,12 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if "slow" in item.keywords:
             item.add_marker(skip)
+
+
+def cpu_subprocess_env(**extra):
+    """Env for subprocess-spawning tests: force the CPU backend AND disable
+    the axon sitecustomize boot hook (PALLAS_AXON_POOL_IPS gates it) so a
+    down TPU tunnel cannot hang hardware-independent subprocess tests."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", **extra)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    return env

@@ -131,7 +131,8 @@ def test_reid_cli_train_and_eval(tmp_path):
     ckpt = tmp_path / "ckpt.npz"
     feats = tmp_path / "features.npz"
 
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    from conftest import cpu_subprocess_env
+    env = cpu_subprocess_env()
     base = [
         sys.executable, "-m", "yolo_deepsort_tpu.train.reid_cli",
     ]
@@ -202,7 +203,7 @@ def test_reid_cli_fast_paths(tmp_path):
         [sys.executable, "-m", "yolo_deepsort_tpu.train.reid_cli", "evaluate",
          "--features", str(feats)],
         capture_output=True, text=True, cwd="/root/repo", timeout=120,
-        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+        env=__import__("conftest").cpu_subprocess_env(),
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "rank-1: 1.0000" in r.stdout

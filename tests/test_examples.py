@@ -12,7 +12,9 @@ import pytest
 PIL = pytest.importorskip("PIL")
 from PIL import Image  # noqa: E402
 
-ENV = dict(os.environ, JAX_PLATFORMS="cpu")
+from conftest import cpu_subprocess_env
+
+ENV = cpu_subprocess_env()
 
 
 def _run(args, timeout=900):

@@ -22,9 +22,9 @@ def _free_port():
 @pytest.mark.slow
 def test_two_host_dryrun_cross_host_handoff():
     port = _free_port()
-    env = dict(os.environ)
+    from conftest import cpu_subprocess_env
+    env = cpu_subprocess_env()
     env.pop("XLA_FLAGS", None)
-    env["JAX_PLATFORMS"] = "cpu"
     procs = [
         subprocess.Popen(
             [sys.executable, "tools/dryrun_multihost.py",

@@ -20,7 +20,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 @pytest.mark.slow
 def test_parity_runbook_standins(tmp_path):
     out = tmp_path / "PARITY_STANDIN.md"
-    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    from conftest import cpu_subprocess_env
+    env = cpu_subprocess_env()
     r = subprocess.run(
         [sys.executable, "tools/parity_real.py", "--standins",
          "--out", str(out)],

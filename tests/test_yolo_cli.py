@@ -213,7 +213,7 @@ def test_yolo_cli_trains_and_exports(tmp_path):
          "--ckpt", str(ckpt), "--export-weights", str(out_weights),
          "--log-interval", "1"],
         capture_output=True, text=True, cwd="/root/repo", timeout=420,
-        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+        env=__import__("conftest").cpu_subprocess_env(),
     )
     assert r.returncode == 0, r.stderr[-2500:]
     assert ckpt.exists() and out_weights.exists()

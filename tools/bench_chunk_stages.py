@@ -37,6 +37,9 @@ def main():
     p.add_argument("--caps", default="32,48,64")
     p.add_argument("--int8-embed", action="store_true",
                    help="add same-graph int8-embed A/B variants")
+    p.add_argument("--pallas-conv", action="store_true",
+                   help="add a detect-stage A/B variant routing deep "
+                        "backbone convs through the MXU Pallas kernel")
     args = p.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -126,6 +129,33 @@ def main():
     out = {"detect_ms_per_chunk": round(dt_detect, 1),
            "max_count": int(mc[0]), "max_crop_hw": mc[1:].tolist(),
            "chunk_frames": n_frames}
+
+    if args.pallas_conv:
+        # same-graph detect A/B: only the eligible deep convs swap to the
+        # hand-scheduled MXU kernel; NMS/letterbox identical
+        detect_pl = make_scanned_detect_stage(
+            plan, det_cfg, trk_cfg, hw, compute_dtype=jnp.bfloat16,
+            use_pallas_letterbox=True, use_pallas_conv=True)
+
+        @jax.jit
+        def detect_pl_chained(dp, fr, bump):
+            b7_, m_, mc_ = detect_pl(dp, fr)
+            nb = jnp.isnan(jnp.sum(b7_)).astype(jnp.uint8)
+            return b7_, m_, mc_, nb
+
+        bump2 = jnp.uint8(0)
+        for _ in range(2):
+            b7p, mp_, mcp, bump2 = detect_pl_chained(det_params, frames, bump2)
+        jax.block_until_ready(b7p)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            b7p, mp_, mcp, bump2 = detect_pl_chained(det_params, frames, bump2)
+        jax.block_until_ready(b7p)
+        out["detect_ms_per_chunk_plconv"] = round(
+            (time.perf_counter() - t0) / args.steps * 1e3, 1)
+        # cross-check: same planted load must survive NMS identically
+        out["plconv_count_delta"] = int(
+            abs(int(np.asarray(mcp)[0]) - int(mc[0])))
 
     # --- track stage per capacity x crop-window variant, state chained +
     # saturating warmup (window (320,192) + Pallas kernel = the production

@@ -159,13 +159,20 @@ def network_apply(
     compute_dtype=jnp.float32,
     return_feature_maps: bool = False,
     capture_all_layers: bool = False,
+    conv_impl=None,
 ):
     """Forward pass. x: (N, S, S, 3) NHWC in [0,1].
 
     Returns decoded detections (N, total_boxes, 5+C) in input-image pixels
     (center format, sigmoided scores) -- the Darknet.forward contract
     (v3-608: 22743 boxes; v3-416: 10647; tiny-416: 2535). With
-    ``return_feature_maps`` also returns the raw NHWC head maps (training)."""
+    ``return_feature_maps`` also returns the raw NHWC head maps (training).
+
+    ``conv_impl(x, w, b, stride, pad, act, layer_idx)`` may claim a conv
+    layer (fused conv+bias+activation, e.g. the Pallas MXU kernel in
+    ops/pallas_conv.py) by returning its output, or return None to fall
+    back to the XLA conv. Numerics contract: bf16 inputs, f32 accumulate,
+    same activation math -- parity-tested in tests/test_pallas_conv.py."""
     defs = plan.defs()
     head_specs = {h.module_index: h for h in plan.heads}
     cache: Dict[int, jnp.ndarray] = {}
@@ -180,8 +187,13 @@ def network_apply(
             k = int(mdef["size"])
             stride = int(mdef.get("stride", 1))
             pad = (k - 1) // 2 if int(mdef.get("pad", 0)) else 0
-            out = _conv(prev, p["w"], p["b"], stride, pad, compute_dtype)
-            out = _activate(out, mdef.get("activation", "linear"), compute_dtype)
+            act = mdef.get("activation", "linear")
+            out = None
+            if conv_impl is not None:
+                out = conv_impl(prev, p["w"], p["b"], stride, pad, act, i)
+            if out is None:
+                out = _conv(prev, p["w"], p["b"], stride, pad, compute_dtype)
+                out = _activate(out, act, compute_dtype)
         elif t == "maxpool":
             out = _maxpool(prev, int(mdef["size"]), int(mdef["stride"]))
         elif t == "upsample":

@@ -1,0 +1,280 @@
+"""Hand-scheduled MXU conv kernels for the detector backbone (Pallas, TPU).
+
+Round-3 measurements that motivate this (docs/ROADMAP.md):
+  * the Darknet backbone runs at ~47% MFU through XLA's conv for this
+    architecture -- every cheap reformulation (layouts, space-to-depth
+    stem, int8-via-XLA) measured negative, leaving custom kernels as the
+    only lever on the single largest block (~90 ms of a ~244 ms chunk);
+  * in-graph int8 matmuls reach ~1.56x bf16 on this MXU, but XLA's int8
+    conv is SLOWER than bf16 -- the int8 path needs a hand-written kernel.
+
+Formulation: a KxK conv is K*K shifted MXU matmuls. Each program takes G
+frames' full feature map (the backbone layers this targets are spatially
+<= ~52x52 where a whole map fits VMEM), pre-padded input (G, H+2p, W+2p,
+Ci); for each tap (dy, dx) the shifted window flattens to (G*Ho*Wo, Ci)
+rows and one dot accumulates into f32 (bf16 weights) or int32 (int8
+weights). Cout tiles across a second grid dimension when the weight block
+would not fit VMEM (the 3x3 512->1024 head convs). The epilogue fuses
+bias + activation (leaky/linear); int8 mode also fuses the activation
+quantization (per-tensor static scale) in the prologue and the
+per-channel dequant in the epilogue, so the graph keeps bf16 activations
+between layers and only the MACs run int8 (W8A8 with bf16 glue).
+
+Exactness: bf16 mode is bit-comparable to XLA's lax.conv with bf16 inputs
+and f32 accumulation (same products, reassociated sums -- tested to f32
+tolerance); int8 mode matches the XLA int8-conv twin in
+models/quantize._int8_conv semantics.
+
+Reference parity anchor: SURVEY.md section 2.3 module builder
+(yolo3/models.py:~90-160 conv stack); this file changes scheduling and
+(optionally) arithmetic precision, never topology.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _apply_act(y, act: str):
+    if act == "leaky":
+        return jnp.where(y > 0, y, 0.1 * y)
+    if act in ("linear", ""):
+        return y
+    raise ValueError(act)
+
+
+def _conv_kernel(
+    x_ref, w_ref, b_ref, *rest,
+    g: int, k: int, ci: int, ho: int, wo: int, co_blk: int,
+    stride: int, act: str, int8_mode: bool, out_dtype,
+):
+    """One program: G frames x one Cout block. x_ref (G, Hi+2p, Wi+2p, Ci)
+    bf16 (int8 mode quantizes in-kernel); w_ref (k*k*Ci, co_blk) bf16|int8;
+    b_ref (1, co_blk) f32. int8 mode appends scale_ref (1, co_blk) f32
+    (xscale*wscale) and xinv_ref (1, 1) f32 (1/xscale) in SMEM."""
+    if int8_mode:
+        scale_ref, xinv_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+
+    x = x_ref[...]
+    if int8_mode:
+        x = jnp.clip(jnp.round(x.astype(jnp.float32) * xinv_ref[0, 0]),
+                     -127, 127).astype(jnp.int8)
+    rows = g * ho * wo
+    acc_dtype = jnp.int32 if int8_mode else jnp.float32
+    acc = jnp.zeros((rows, co_blk), acc_dtype)
+    for dy in range(k):
+        for dx in range(k):
+            if k == 1:
+                tap = x
+            elif stride == 1:
+                tap = x[:, dy:dy + ho, dx:dx + wo, :]
+            else:
+                win = x[:, dy:dy + 2 * ho, dx:dx + 2 * wo, :]
+                win = win.reshape(g, ho, 2, wo, 2, ci)
+                tap = win[:, :, 0, :, 0, :]
+            if k == 1 and stride == 2:
+                tap = tap.reshape(g, ho, 2, wo, 2, ci)[:, :, 0, :, 0, :]
+            wk = w_ref[(dy * k + dx) * ci:(dy * k + dx + 1) * ci, :]
+            acc = acc + jax.lax.dot_general(
+                tap.reshape(rows, ci), wk,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=acc_dtype,
+            )
+    y = acc.astype(jnp.float32)
+    if int8_mode:
+        y = y * scale_ref[0, :]
+    y = _apply_act(y + b_ref[0, :], act)
+    out_ref[...] = y.reshape(g, ho, wo, co_blk).astype(out_dtype)
+
+
+def _pick_g_frames(n: int, vmem_per_frame: int, hw: int) -> int:
+    """Frames per program: fill MXU rows (>=512) while keeping the x/acc
+    VMEM footprint under ~10 MB (leaves room for weights + pipelining)."""
+    g = 1
+    while (g * hw < 512 and g < 16 and n % (g * 2) == 0
+           and (g * 2) * vmem_per_frame < 10 * 2**20):
+        g *= 2
+    return g
+
+
+def _pick_co_block(k: int, ci: int, co: int, w_bytes: int) -> int:
+    """Cout tile: whole Cout unless the weight block exceeds ~4 MB."""
+    blk = co
+    while k * k * ci * blk * w_bytes > 4 * 2**20 and blk % 2 == 0 and blk > 128:
+        blk //= 2
+    return blk
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("stride", "pad", "act", "interpret"),
+)
+def conv_mxu_bf16(
+    x: jnp.ndarray,   # (N, Hi, Wi, Ci) bf16
+    w: jnp.ndarray,   # (k, k, Ci, Co) bf16 HWIO
+    b: jnp.ndarray,   # (Co,) f32
+    *,
+    stride: int = 1,
+    pad: int = 1,
+    act: str = "leaky",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """bf16 conv + bias + activation, f32 accumulation; returns bf16 NHWC.
+    Drop-in for the backbone's _conv+_activate pair on supported shapes."""
+    return _conv_mxu(x, w.astype(jnp.bfloat16), b, None, None,
+                     stride=stride, pad=pad, act=act, interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("stride", "pad", "act", "interpret"),
+)
+def conv_mxu_int8(
+    x: jnp.ndarray,        # (N, Hi, Wi, Ci) bf16/f32
+    wq: jnp.ndarray,       # (k, k, Ci, Co) int8 HWIO
+    b: jnp.ndarray,        # (Co,) f32
+    scale: jnp.ndarray,    # (Co,) f32 = xscale * wscale
+    xinv: jnp.ndarray,     # scalar f32 = 1 / xscale
+    *,
+    stride: int = 1,
+    pad: int = 1,
+    act: str = "leaky",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """W8A8 conv with bf16 glue: quantize-in, int8 MACs, dequant + bias +
+    activation out (bf16). Semantics == models/quantize._int8_conv +
+    activation (the accuracy-gated scheme)."""
+    return _conv_mxu(x, wq, b, scale, xinv, stride=stride, pad=pad, act=act,
+                     interpret=interpret)
+
+
+def _conv_mxu(x, w, b, scale, xinv, *, stride, pad, act, interpret):
+    n, hi, wi, ci = x.shape
+    k, k2, wci, co = w.shape
+    assert k == k2 and k in (1, 3) and wci == ci, (w.shape, x.shape)
+    assert pad == ((k - 1) // 2), (k, pad)
+    ho = (hi + 2 * pad - k) // stride + 1
+    wo = (wi + 2 * pad - k) // stride + 1
+    if stride == 2:
+        assert hi % 2 == 0 and wi % 2 == 0, (hi, wi)
+    int8_mode = scale is not None
+    xdt = jnp.bfloat16 if not int8_mode else x.dtype
+
+    if pad:
+        xp = jnp.pad(x.astype(xdt), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    else:
+        xp = x.astype(xdt)
+    hp, wp = xp.shape[1], xp.shape[2]
+
+    x_bytes = 2 if xp.dtype != jnp.int8 else 1
+    vmem_per_frame = (hp * wp * ci * x_bytes          # input block
+                      + ho * wo * co * 4              # accumulator
+                      + ho * wo * co * 2)             # output block
+    g = _pick_g_frames(n, vmem_per_frame, ho * wo)
+    co_blk = _pick_co_block(k, ci, co, 1 if int8_mode else 2)
+    grid = (n // g, co // co_blk)
+
+    w2 = w.reshape(k * k * ci, co)
+    b2 = b.reshape(1, co).astype(jnp.float32)
+
+    kern = functools.partial(
+        _conv_kernel, g=g, k=k, ci=ci, ho=ho, wo=wo, co_blk=co_blk,
+        stride=stride, act=act, int8_mode=int8_mode, out_dtype=jnp.bfloat16,
+    )
+    in_specs = [
+        pl.BlockSpec((g, hp, wp, ci), lambda i, j: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k * k * ci, co_blk), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, co_blk), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [xp, w2, b2]
+    if int8_mode:
+        in_specs.append(pl.BlockSpec((1, co_blk), lambda i, j: (0, j),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        args += [scale.reshape(1, co).astype(jnp.float32),
+                 jnp.asarray(xinv, jnp.float32).reshape(1, 1)]
+
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((g, ho, wo, co_blk),
+                               lambda i, j: (i, 0, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, ho, wo, co), jnp.bfloat16),
+        interpret=interpret,
+    )(*args)
+
+
+def backbone_conv_eligible(hi: int, wi: int, ci: int, co: int, k: int,
+                           stride: int, act: str,
+                           max_hw: int = 64) -> bool:
+    """Routing policy for network_apply's conv hook: deep backbone/head
+    convs whose full map fits a VMEM block. Spatially large early layers
+    (>= 104x104) and non-MXU-friendly channel counts stay on XLA."""
+    if k not in (1, 3) or act not in ("leaky", "linear"):
+        return False
+    if stride == 2 and (hi % 2 or wi % 2):
+        return False
+    if max(hi, wi) > max_hw:
+        return False
+    return ci >= 128 and co >= 128
+
+
+def make_backbone_conv_impl(*, max_hw: int = 64, interpret: bool = False,
+                            layer_whitelist: Optional[frozenset] = None,
+                            int8_pkg=None):
+    """``conv_impl`` hook for models.darknet.network_apply: route eligible
+    convs through conv_mxu_bf16, return None (XLA fallback) otherwise.
+
+    ``layer_whitelist`` optionally restricts the kernel to specific module
+    indices (for per-layer A/B attribution). ``int8_pkg`` (from
+    models.quantize_darknet.quantize_darknet_convs) additionally routes
+    packaged layers through the W8A8 kernel -- accuracy-gated by
+    tools/int8_gate.py --detector before serving use."""
+
+    def impl(x, w, b, stride, pad, act, layer_idx):
+        hi, wi, ci = int(x.shape[1]), int(x.shape[2]), int(x.shape[3])
+        co = int(w.shape[3])
+        k = int(w.shape[0])
+        if layer_whitelist is not None and layer_idx not in layer_whitelist:
+            return None
+        if pad != (k - 1) // 2:  # unpadded k=3 convs (rare cfg) stay on XLA
+            return None
+        if not backbone_conv_eligible(hi, wi, ci, co, k, stride, act,
+                                      max_hw=max_hw):
+            return None
+        qp = None if int8_pkg is None else int8_pkg.get(layer_idx)
+        if qp is not None:
+            return conv_mxu_int8(
+                x, jnp.asarray(qp["wq"]), jnp.asarray(qp["b"], jnp.float32),
+                jnp.asarray(qp["scale"], jnp.float32),
+                jnp.asarray(qp["xinv"], jnp.float32),
+                stride=stride, pad=pad, act=act, interpret=interpret,
+            )
+        return conv_mxu_bf16(
+            x.astype(jnp.bfloat16),
+            jnp.asarray(w, jnp.bfloat16),
+            jnp.asarray(b, jnp.float32),
+            stride=stride, pad=pad, act=act, interpret=interpret,
+        )
+
+    return impl
+
+
+def pallas_conv_supported() -> bool:
+    """True when the kernel may compile natively on this backend."""
+    return jax.default_backend() == "tpu"

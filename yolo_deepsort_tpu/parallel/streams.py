@@ -346,6 +346,8 @@ def make_scanned_detect_stage(
     frame_hw: Tuple[int, int],
     compute_dtype=jnp.float32,
     use_pallas_letterbox: bool = False,
+    use_pallas_conv: bool = False,  # route deep backbone convs through the
+    #                                 MXU Pallas kernel (ops/pallas_conv.py)
     conf_thres_per_stream=None,  # optional (S,) overriding det_cfg.conf_thres
     tracked_class_ids=None,
 ):
@@ -372,6 +374,11 @@ def make_scanned_detect_stage(
     thr = (None if conf_thres_per_stream is None
            else np.asarray(conf_thres_per_stream, np.float32))
 
+    conv_impl = None
+    if use_pallas_conv:
+        from ..ops.pallas_conv import make_backbone_conv_impl
+        conv_impl = make_backbone_conv_impl()
+
     def detect(det_params, frames):
         k, s = frames.shape[0], frames.shape[1]
         flat = frames.reshape(k * s, h, w, 3)
@@ -380,7 +387,8 @@ def make_scanned_detect_stage(
         else:
             xs = jax.vmap(lambda f: letterbox(f, size))(flat)
         decoded = network_apply(
-            plan, det_params, xs, compute_dtype=compute_dtype
+            plan, det_params, xs, compute_dtype=compute_dtype,
+            conv_impl=conv_impl,
         )
         conf = det_cfg.conf_thres if thr is None else jnp.tile(thr, k)
         boxes7, mask, nms_sat = batched_nms_with_stats(
