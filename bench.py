@@ -121,6 +121,12 @@ def main():
                    help="int8-resident ReID embed (W8A8, accuracy-gated by "
                         "tools/int8_gate.py); 'pallas' uses the fused int8 "
                         "conv kernels (TPU)")
+    p.add_argument("--backbone-conv", default="off",
+                   choices=["off", "pallas", "int8"],
+                   help="route deep backbone convs through the MXU Pallas "
+                        "kernel (ops/pallas_conv.py); 'int8' additionally "
+                        "runs them W8A8 (calibrated on the bench frames, "
+                        "accuracy-gated by tools/int8_detect_gate.py)")
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="capture a jax profiler trace of the timed region "
                         "into DIR (host-side events only through the axon "
@@ -145,6 +151,11 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    # honor JAX_PLATFORMS=cpu for smokes even though the axon sitecustomize
+    # pins the TPU backend (same guard as the tools/ entry points)
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from yolo_deepsort_tpu.cfg.architectures import ARCHITECTURES
     from yolo_deepsort_tpu.config import DetectorConfig, TrackerConfig
@@ -182,12 +193,13 @@ def main():
         frames = jnp.asarray(
             np.broadcast_to(base[None], (k, *base.shape)).copy()
         )
+        calib_frames = base[:2]  # host copy for int8 calibration
     else:
-        frames = jnp.asarray(
-            rng.integers(
-                0, 256, (k, s, args.frame_h, args.frame_w, 3), dtype=np.uint8
-            )
+        frames_np = rng.integers(
+            0, 256, (k, s, args.frame_h, args.frame_w, 3), dtype=np.uint8
         )
+        frames = jnp.asarray(frames_np)
+        calib_frames = frames_np[0, :2]
 
     raw = W.random_raw_params(plan.defs(), seed=0)
     if args.target_dets > 0:
@@ -215,6 +227,18 @@ def main():
         if args.box_prior == "mot":
             raw = plant_box_prior(raw, plan, (args.frame_h, args.frame_w))
     det_params = W.fold_inference_params(raw, plan.defs())
+
+    backbone_int8_pkg = None
+    if args.backbone_conv == "int8":
+        # calibrate on the exact bench content, on the HOST (det_params are
+        # still host arrays here; eager calibration through the tunnel
+        # would dispatch per-op)
+        from yolo_deepsort_tpu.models.quantize_darknet import (
+            quantize_darknet_from_frames,
+        )
+
+        backbone_int8_pkg = quantize_darknet_from_frames(
+            plan, det_params, calib_frames, args.img_size)
 
     det_params = jax.tree_util.tree_map(jnp.asarray, det_params)
     embed_int8 = {"off": False, "resident": "resident",
@@ -262,6 +286,12 @@ def main():
     buckets = tuple(int(b) for b in args.buckets.split(",") if b)
 
     def build(use_pallas_lb):
+        # the conv kernel rides the same fallback switch as the other
+        # Pallas kernels: a warmup failure rebuilds everything on XLA
+        conv_kw = dict(
+            use_pallas_conv=(args.backbone_conv != "off") and use_pallas_lb,
+            backbone_int8_pkg=backbone_int8_pkg if use_pallas_lb else None,
+        )
         if k > 1 and not args.no_bucketing:
             return make_scanned_step_bucketed(
                 plan, det_cfg, trk_cfg, (args.frame_h, args.frame_w),
@@ -272,7 +302,7 @@ def main():
                 # --no-pallas-letterbox escape hatch (and the warmup
                 # fallback) disables both Pallas kernels together
                 use_pallas_crops=None if use_pallas_lb else False,
-                embed_int8=embed_int8,
+                embed_int8=embed_int8, **conv_kw,
             )
         if k > 1:
             if embed_int8:
@@ -286,7 +316,7 @@ def main():
         return make_batched_step(
             plan, det_cfg, trk_cfg, (args.frame_h, args.frame_w),
             compute_dtype=compute_dtype, use_pallas_letterbox=use_pallas_lb,
-            embed_int8=embed_int8,
+            embed_int8=embed_int8, **conv_kw,
         )
 
     step = build(use_pallas)
@@ -376,7 +406,10 @@ def main():
         step1 = make_batched_step(
             plan, det_cfg, trk_cfg, (args.frame_h, args.frame_w),
             compute_dtype=compute_dtype, use_pallas_letterbox=use_pallas,
-            embed_int8=embed_int8, **k1_kw,
+            embed_int8=embed_int8,
+            use_pallas_conv=(args.backbone_conv != "off") and use_pallas,
+            backbone_int8_pkg=backbone_int8_pkg if use_pallas else None,
+            **k1_kw,
         )
         st1 = init_stream_states(trk_cfg, s)
         f1 = frames[0]
@@ -404,6 +437,10 @@ def main():
     }
     if embed_int8:
         rec["embed_int8"] = args.embed_int8
+    if args.backbone_conv != "off":
+        rec["backbone_conv"] = args.backbone_conv if use_pallas else "off"
+        if backbone_int8_pkg is not None:
+            rec["backbone_int8_layers"] = len(backbone_int8_pkg)
     if getattr(step, "last_window", None) is not None:
         rec["crop_window"] = list(step.last_window)
         rec["max_crop_hw"] = list(step.last_crop_hw)

@@ -42,6 +42,7 @@ CASES = [
     (2, 16, 128, 256, 3, 2, "leaky"),
     (1, 13, 256, 512, 3, 1, "leaky"),   # odd spatial, odd N
     (4, 8, 256, 255, 1, 1, "linear"),   # head conv: co not 128-multiple
+    (2, 16, 128, 256, 3, 1, "mish"),    # v4 CSP backbone activation
 ]
 
 
@@ -107,7 +108,8 @@ def test_eligibility_policy():
     assert backbone_conv_eligible(13, 13, 512, 1024, 3, 1, "leaky")
     assert not backbone_conv_eligible(104, 104, 128, 256, 3, 1, "leaky")
     assert not backbone_conv_eligible(52, 52, 64, 128, 3, 1, "leaky")
-    assert not backbone_conv_eligible(52, 52, 128, 256, 3, 1, "mish")
+    assert backbone_conv_eligible(52, 52, 128, 256, 3, 1, "mish")  # v4 CSP
+    assert not backbone_conv_eligible(52, 52, 128, 256, 3, 1, "swish")
     assert not backbone_conv_eligible(13, 13, 512, 1024, 5, 1, "leaky")
     assert not backbone_conv_eligible(13, 13, 512, 1024, 3, 2, "leaky")
 
@@ -148,3 +150,138 @@ def test_network_apply_conv_impl_tiny_parity():
     # floor, not a kernel bug (f32-accumulated taps, tested above)
     np.testing.assert_allclose(g[..., :4], r[..., :4], atol=3.0, rtol=4e-2)
     np.testing.assert_allclose(g[..., 4:], r[..., 4:], atol=3e-2)
+
+
+def _v3tiny_setup(seed=4):
+    from yolo_deepsort_tpu.cfg.architectures import yolov3_tiny
+    from yolo_deepsort_tpu.models.darknet import build_network
+    from yolo_deepsort_tpu.models import weights as W
+
+    cfg = yolov3_tiny()
+    plan = build_network(cfg, 416)
+    defs = [dict(d) for d in cfg[1:]]
+    params = W.fold_inference_params(
+        W.random_raw_params(defs, seed=seed), defs)
+    return plan, params
+
+
+def test_quantize_darknet_calibration_covers_deep_layers():
+    from yolo_deepsort_tpu.models.quantize_darknet import (
+        calibrate_darknet_act_scales, quantize_darknet_convs)
+
+    plan, params = _v3tiny_setup()
+    calib = np.random.default_rng(1).random((1, 416, 416, 3), np.float32)
+    scales = calibrate_darknet_act_scales(plan, params, calib)
+    assert len(scales) >= 3, scales  # tiny's deep 128/256/512/1024 convs
+    pkg = quantize_darknet_convs(plan, params, calib)
+    assert set(pkg) == set(scales)
+    for idx, qp in pkg.items():
+        assert qp["wq"].dtype == np.int8
+        co = qp["wq"].shape[3]
+        assert qp["scale"].shape == (co,) and qp["b"].shape == (co,)
+        assert float(qp["xinv"]) > 0
+
+
+def test_darknet_int8_pallas_matches_xla_twin():
+    """Same int8 codes both routes: int32 accumulation is exact, so the
+    Pallas kernel (interpret) and the XLA twin must agree bit-for-bit
+    through the full tiny-416 forward (whitelisted to packaged layers so
+    every other conv takes the identical XLA path)."""
+    from yolo_deepsort_tpu.models.darknet import network_apply
+    from yolo_deepsort_tpu.models.quantize_darknet import (
+        make_xla_int8_conv_impl, quantize_darknet_convs)
+
+    plan, params = _v3tiny_setup()
+    rng = np.random.default_rng(2)
+    calib = rng.random((1, 416, 416, 3), np.float32)
+    pkg = quantize_darknet_convs(plan, params, calib)
+    x = jnp.asarray(rng.random((1, 416, 416, 3), np.float32))
+
+    twin = network_apply(plan, params, x, jnp.bfloat16,
+                         conv_impl=make_xla_int8_conv_impl(pkg))
+    pl_impl = make_backbone_conv_impl(
+        int8_pkg=pkg, layer_whitelist=frozenset(pkg), interpret=True)
+    got = network_apply(plan, params, x, jnp.bfloat16, conv_impl=pl_impl)
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(twin, np.float32))
+
+
+def test_darknet_int8_accuracy_near_bf16():
+    """int8 detect outputs must stay close to f32 on the quantities NMS
+    consumes (objectness ordering, box geometry) -- the cheap in-suite
+    sibling of tools/int8_detect_gate.py."""
+    from yolo_deepsort_tpu.models.darknet import network_apply
+    from yolo_deepsort_tpu.models.quantize_darknet import (
+        make_xla_int8_conv_impl, quantize_darknet_convs)
+
+    plan, params = _v3tiny_setup(seed=11)
+    rng = np.random.default_rng(3)
+    calib = rng.random((2, 416, 416, 3), np.float32)
+    pkg = quantize_darknet_convs(plan, params, calib)
+    x = jnp.asarray(rng.random((1, 416, 416, 3), np.float32))
+
+    f32 = np.asarray(network_apply(plan, params, x, jnp.float32), np.float32)
+    q = np.asarray(network_apply(plan, params, x, jnp.bfloat16,
+                                 conv_impl=make_xla_int8_conv_impl(pkg)),
+                   np.float32)
+    # top-32 objectness rows (what NMS sees at serving thresholds)
+    top = np.argsort(-f32[0, :, 4])[:32]
+    conf_mae = float(np.abs(q[0, top, 4] - f32[0, top, 4]).mean())
+    assert conf_mae < 0.05, conf_mae
+    # geometry of those rows within a few px at 416
+    box_err = float(np.abs(q[0, top, :4] - f32[0, top, :4]).max())
+    assert box_err < 8.0, box_err
+
+
+def test_step_plumbing_backbone_conv_int8():
+    """The serving-step plumbing: BucketedScannedStep and make_batched_step
+    accept (use_pallas_conv, backbone_int8_pkg) and run end-to-end on CPU in
+    interpret mode -- covers the batched-step restructure that hoists the
+    backbone out of the per-stream vmap (streams.py fused_frame_step
+    decoded=...)."""
+    from yolo_deepsort_tpu.cfg.architectures import yolov3_tiny
+    from yolo_deepsort_tpu.config import DetectorConfig, TrackerConfig
+    from yolo_deepsort_tpu.models.darknet import build_network
+    from yolo_deepsort_tpu.models import weights as W
+    from yolo_deepsort_tpu.models.quantize_darknet import (
+        quantize_darknet_from_frames)
+    from yolo_deepsort_tpu.models.reid import random_reid_params
+    from yolo_deepsort_tpu.parallel.streams import (
+        BucketedScannedStep, init_stream_states, make_batched_step)
+
+    size, h, w, s, k = 256, 256, 320, 2, 2
+    cfg = yolov3_tiny(img_size=size)
+    plan = build_network(cfg, size)
+    defs = [dict(d) for d in cfg[1:]]
+    params = W.fold_inference_params(
+        W.random_raw_params(defs, seed=7), defs)
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 256, (k, s, h, w, 3), dtype=np.uint8)
+    pkg = quantize_darknet_from_frames(plan, params, frames[0], size)
+    assert pkg, "tiny-256 deep layers must be eligible"
+
+    det_cfg = DetectorConfig(img_size=size, conf_thres=0.3, nms_thres=0.4,
+                             max_dets=8)
+    trk_cfg = TrackerConfig(max_dets=8, max_tracks=16)
+
+    step = BucketedScannedStep(
+        plan, det_cfg, trk_cfg, (h, w), buckets=(4, 8),
+        compute_dtype=jnp.bfloat16, donate_state=False,
+        use_pallas_conv="interpret", backbone_int8_pkg=pkg,
+    )
+    states = init_stream_states(trk_cfg, s)
+    states, (outputs, emit) = step(
+        params, random_reid_params(seed=1), states, jnp.asarray(frames))
+    assert outputs.shape == (k, s, trk_cfg.max_tracks, 5)
+    assert np.isfinite(np.asarray(states.mean)).all()
+
+    step1 = make_batched_step(
+        plan, det_cfg, trk_cfg, (h, w), compute_dtype=jnp.bfloat16,
+        donate_state=False, use_pallas_conv="interpret",
+        backbone_int8_pkg=pkg,
+    )
+    st1 = init_stream_states(trk_cfg, s)
+    st1, (o1, e1) = step1(params, random_reid_params(seed=1), st1,
+                          jnp.asarray(frames[0]))
+    assert o1.shape == (s, trk_cfg.max_tracks, 5)
+    assert np.isfinite(np.asarray(st1.mean)).all()

@@ -40,6 +40,10 @@ def main():
     p.add_argument("--pallas-conv", action="store_true",
                    help="add a detect-stage A/B variant routing deep "
                         "backbone convs through the MXU Pallas kernel")
+    p.add_argument("--int8-conv", action="store_true",
+                   help="add a detect-stage A/B variant running the deep "
+                        "backbone convs W8A8 through the Pallas kernel "
+                        "(calibrated on the bench frames)")
     args = p.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -50,6 +54,9 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from yolo_deepsort_tpu.cfg.architectures import ARCHITECTURES
     from yolo_deepsort_tpu.config import DetectorConfig, TrackerConfig
@@ -86,8 +93,8 @@ def main():
     from bench import plant_box_prior  # same MOT-person geometry as bench.py
 
     raw = plant_box_prior(raw, plan, hw)
-    det_params = jax.tree_util.tree_map(
-        jnp.asarray, W.fold_inference_params(raw, plan.defs()))
+    det_params_host = W.fold_inference_params(raw, plan.defs())
+    det_params = jax.tree_util.tree_map(jnp.asarray, det_params_host)
     reid_params = jax.tree_util.tree_map(jnp.asarray, random_reid_params(0))
 
     kth = args.target_dets
@@ -156,6 +163,40 @@ def main():
         # cross-check: same planted load must survive NMS identically
         out["plconv_count_delta"] = int(
             abs(int(np.asarray(mcp)[0]) - int(mc[0])))
+
+    if args.int8_conv:
+        # same-graph detect A/B, W8A8 deep convs (Pallas kernel; gate with
+        # tools/int8_detect_gate.py before serving use)
+        from yolo_deepsort_tpu.models.quantize_darknet import (
+            quantize_darknet_from_frames,
+        )
+
+        pkg = quantize_darknet_from_frames(
+            plan, det_params_host, base, args.img_size)
+        out["int8_conv_layers"] = len(pkg)
+        detect_q = make_scanned_detect_stage(
+            plan, det_cfg, trk_cfg, hw, compute_dtype=jnp.bfloat16,
+            use_pallas_letterbox=True, use_pallas_conv=True,
+            backbone_int8_pkg=pkg)
+
+        @jax.jit
+        def detect_q_chained(dp, fr, bump):
+            b7_, m_, mc_ = detect_q(dp, fr)
+            nb = jnp.isnan(jnp.sum(b7_)).astype(jnp.uint8)
+            return b7_, m_, mc_, nb
+
+        bump3 = jnp.uint8(0)
+        for _ in range(2):
+            b7q, mq_, mcq, bump3 = detect_q_chained(det_params, frames, bump3)
+        jax.block_until_ready(b7q)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            b7q, mq_, mcq, bump3 = detect_q_chained(det_params, frames, bump3)
+        jax.block_until_ready(b7q)
+        out["detect_ms_per_chunk_int8conv"] = round(
+            (time.perf_counter() - t0) / args.steps * 1e3, 1)
+        out["int8conv_count_delta"] = int(
+            abs(int(np.asarray(mcq)[0]) - int(mc[0])))
 
     # --- track stage per capacity x crop-window variant, state chained +
     # saturating warmup (window (320,192) + Pallas kernel = the production

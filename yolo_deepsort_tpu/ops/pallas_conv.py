@@ -15,7 +15,7 @@ Ci); for each tap (dy, dx) the shifted window flattens to (G*Ho*Wo, Ci)
 rows and one dot accumulates into f32 (bf16 weights) or int32 (int8
 weights). Cout tiles across a second grid dimension when the weight block
 would not fit VMEM (the 3x3 512->1024 head convs). The epilogue fuses
-bias + activation (leaky/linear); int8 mode also fuses the activation
+bias + activation (leaky/linear/mish); int8 mode also fuses the activation
 quantization (per-tensor static scale) in the prologue and the
 per-channel dequant in the epilogue, so the graph keeps bf16 activations
 between layers and only the MACs run int8 (W8A8 with bf16 glue).
@@ -45,6 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 def _apply_act(y, act: str):
     if act == "leaky":
         return jnp.where(y > 0, y, 0.1 * y)
+    if act == "mish":  # matches models.darknet._activate (v4 backbone)
+        return y * jnp.tanh(jnp.logaddexp(0.0, y))
     if act in ("linear", ""):
         return y
     raise ValueError(act)
@@ -225,7 +227,7 @@ def backbone_conv_eligible(hi: int, wi: int, ci: int, co: int, k: int,
     """Routing policy for network_apply's conv hook: deep backbone/head
     convs whose full map fits a VMEM block. Spatially large early layers
     (>= 104x104) and non-MXU-friendly channel counts stay on XLA."""
-    if k not in (1, 3) or act not in ("leaky", "linear"):
+    if k not in (1, 3) or act not in ("leaky", "linear", "mish"):
         return False
     if stride == 2 and (hi % 2 or wi % 2):
         return False

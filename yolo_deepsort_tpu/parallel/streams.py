@@ -58,19 +58,27 @@ def fused_frame_step(
     tracked_class_ids=None,  # optional (K,) int32
     compute_dtype=jnp.float32,
     letterboxed=None,  # optional precomputed (size, size, 3) input
+    decoded=None,  # optional precomputed (N, 5+C) network output
     return_dets=False,  # True: skip the tracker, return (tlwh, conf, feats, mask)
 ):
     """One stream, one frame: letterbox -> detect -> NMS -> rescale -> crop ->
     embed -> associate. Pure function of fixed shapes; vmap over streams.
     ``letterboxed`` lets callers substitute a fused Pallas-preprocessed input
-    (the Pallas kernel batches internally and cannot live under this vmap)."""
+    (the Pallas kernel batches internally and cannot live under this vmap);
+    ``decoded`` additionally skips the backbone (callers that route convs
+    through the Pallas MXU kernel run network_apply at full stream batch
+    outside the vmap, ops/pallas_conv.py)."""
     h, w = frame_hw
     size = det_cfg.img_size
-    if letterboxed is not None:
-        x = letterboxed[None]
+    if decoded is not None:
+        decoded = decoded[None] if decoded.ndim == 2 else decoded
     else:
-        x = letterbox(frame_rgb, size)[None]
-    decoded = network_apply(plan, det_params, x, compute_dtype=compute_dtype)
+        if letterboxed is not None:
+            x = letterboxed[None]
+        else:
+            x = letterbox(frame_rgb, size)[None]
+        decoded = network_apply(plan, det_params, x,
+                                compute_dtype=compute_dtype)
     boxes7, mask = batched_nms(
         decoded, det_cfg.conf_thres, det_cfg.nms_thres, det_cfg.max_boxes,
         trk_cfg.max_dets,
@@ -122,6 +130,10 @@ def make_batched_step(
     embed_int8=False,  # False | "resident" | "resident_pallas" (fused-
     #                    tracker path only; reid_params must be the
     #                    quantize_reid_params_resident package)
+    use_pallas_conv=False,  # True | "interpret": deep backbone convs through
+    #                         the MXU Pallas kernel (ops/pallas_conv.py)
+    backbone_int8_pkg=None,  # models.quantize_darknet package: W8A8 kernel
+    #                          for packaged layers (requires use_pallas_conv)
 ):
     """Multi-stream step: (det_params, reid_params, states, frames (S,H,W,3))
     -> (states, (outputs (S,T,5), emit (S,T))). Model params are broadcast;
@@ -160,6 +172,14 @@ def make_batched_step(
 
         cfg_c = dataclasses.replace(trk_cfg, max_dets=cap)
 
+    conv_impl = None
+    if use_pallas_conv:
+        from ..ops.pallas_conv import make_backbone_conv_impl
+
+        conv_impl = make_backbone_conv_impl(
+            interpret=use_pallas_conv == "interpret",
+            int8_pkg=backbone_int8_pkg)
+
     def run(det_params, reid_params, states, frames):
         # cfg_c: NMS runs at the ``cap`` capacity directly -- it emits rows
         # score-descending into a contiguous prefix, so its first ``cap``
@@ -173,6 +193,22 @@ def make_batched_step(
         )
         if use_pallas_letterbox:
             xs = pallas_letterbox_batch(frames, det_cfg.img_size)
+        elif conv_impl is not None:
+            xs = jax.vmap(lambda f: letterbox(f, det_cfg.img_size))(frames)
+        else:
+            xs = None
+        if conv_impl is not None:
+            # backbone at full stream batch OUTSIDE the per-stream vmap:
+            # the Pallas kernel grids over the batch itself
+            decoded_all = network_apply(
+                plan, det_params, xs, compute_dtype=compute_dtype,
+                conv_impl=conv_impl)
+            out = jax.vmap(
+                lambda st, fr, dec: fn(det_params, reid_params, st, fr,
+                                       decoded=dec),
+                in_axes=(None, 0, 0) if fused else (0, 0, 0),
+            )(None if fused else states, frames, decoded_all)
+        elif use_pallas_letterbox:
             out = jax.vmap(
                 lambda st, fr, x: fn(det_params, reid_params, st, fr,
                                      letterboxed=x),
@@ -346,8 +382,11 @@ def make_scanned_detect_stage(
     frame_hw: Tuple[int, int],
     compute_dtype=jnp.float32,
     use_pallas_letterbox: bool = False,
-    use_pallas_conv: bool = False,  # route deep backbone convs through the
-    #                                 MXU Pallas kernel (ops/pallas_conv.py)
+    use_pallas_conv=False,  # True | "interpret": route deep backbone convs
+    #                         through the MXU Pallas kernel (ops/pallas_conv.py)
+    backbone_int8_pkg=None,  # models.quantize_darknet package: W8A8 kernel
+    #                          for packaged layers (requires use_pallas_conv;
+    #                          gate with tools/int8_detect_gate.py first)
     conf_thres_per_stream=None,  # optional (S,) overriding det_cfg.conf_thres
     tracked_class_ids=None,
 ):
@@ -377,7 +416,9 @@ def make_scanned_detect_stage(
     conv_impl = None
     if use_pallas_conv:
         from ..ops.pallas_conv import make_backbone_conv_impl
-        conv_impl = make_backbone_conv_impl()
+        conv_impl = make_backbone_conv_impl(
+            interpret=use_pallas_conv == "interpret",
+            int8_pkg=backbone_int8_pkg)
 
     def detect(det_params, frames):
         k, s = frames.shape[0], frames.shape[1]
@@ -592,6 +633,9 @@ class BucketedScannedStep:
         embed_int8=False,  # False | "resident" | "resident_pallas": the
         #                    int8-resident ReID embed (reid_params must be
         #                    the quantize_reid_params_resident package)
+        use_pallas_conv=False,  # True | "interpret": backbone convs through
+        #                         the MXU Pallas kernel (ops/pallas_conv.py)
+        backbone_int8_pkg=None,  # quantize_darknet package -> W8A8 kernel
     ):
         h, w = frame_hw
         if use_pallas_crops is None:
@@ -601,6 +645,8 @@ class BucketedScannedStep:
         self._detect = make_scanned_detect_stage(
             plan, det_cfg, trk_cfg, frame_hw, compute_dtype=compute_dtype,
             use_pallas_letterbox=use_pallas_letterbox,
+            use_pallas_conv=use_pallas_conv,
+            backbone_int8_pkg=backbone_int8_pkg,
             conf_thres_per_stream=conf_thres_per_stream,
             tracked_class_ids=tracked_class_ids,
         )
@@ -741,6 +787,8 @@ def make_scanned_step_bucketed(
     ),
     use_pallas_crops: Optional[bool] = None,  # None = auto by backend
     embed_int8=False,
+    use_pallas_conv=False,
+    backbone_int8_pkg=None,
 ) -> BucketedScannedStep:
     return BucketedScannedStep(
         plan, det_cfg, trk_cfg, frame_hw, buckets=buckets,
@@ -748,6 +796,7 @@ def make_scanned_step_bucketed(
         donate_state=donate_state, use_pallas_letterbox=use_pallas_letterbox,
         conf_thres_per_stream=conf_thres_per_stream, windows=windows,
         use_pallas_crops=use_pallas_crops, embed_int8=embed_int8,
+        use_pallas_conv=use_pallas_conv, backbone_int8_pkg=backbone_int8_pkg,
     )
 
 
