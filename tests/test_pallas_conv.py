@@ -233,6 +233,48 @@ def test_darknet_int8_accuracy_near_bf16():
     assert box_err < 8.0, box_err
 
 
+@pytest.mark.slow
+def test_darknet_int8_yolov4_mish_route():
+    """yolov4's CSP backbone (mish activations, route groups, SPP) through
+    the int8 package: eligibility must pick up mish layers, and the XLA
+    twin's detect output must stay near f32 (the Pallas kernel is bitwise
+    vs the twin per test_darknet_int8_pallas_matches_xla_twin; the mish
+    epilogue itself is covered by the CASES sweep)."""
+    from yolo_deepsort_tpu.cfg.architectures import yolov4
+    from yolo_deepsort_tpu.models.darknet import build_network, network_apply
+    from yolo_deepsort_tpu.models import weights as W
+    from yolo_deepsort_tpu.models.quantize_darknet import (
+        make_xla_int8_conv_impl, quantize_darknet_convs)
+
+    cfg = yolov4(img_size=256)
+    plan = build_network(cfg, 256)
+    defs = [dict(d) for d in cfg[1:]]
+    params = W.fold_inference_params(
+        W.random_raw_params(defs, seed=5), defs)
+    rng = np.random.default_rng(6)
+    calib = rng.random((1, 256, 256, 3), np.float32)
+    pkg = quantize_darknet_convs(plan, params, calib)
+    mish_layers = [i for i in pkg
+                   if plan.defs()[i].get("activation") == "mish"]
+    assert len(pkg) >= 8 and mish_layers, (len(pkg), mish_layers)
+
+    x = jnp.asarray(rng.random((1, 256, 256, 3), np.float32))
+    f32 = np.asarray(network_apply(plan, params, x, jnp.float32), np.float32)
+    q = np.asarray(network_apply(plan, params, x, jnp.bfloat16,
+                                 conv_impl=make_xla_int8_conv_impl(pkg)),
+                   np.float32)
+    top = np.argsort(-f32[0, :, 4])[:32]
+    conf_mae = float(np.abs(q[0, top, 4] - f32[0, top, 4]).mean())
+    assert conf_mae < 0.05, conf_mae
+    # random (non-BN-consistent) v4 weights overflow exp(tw) to inf for
+    # some rows in BOTH paths (reference-faithful decode, App. C); compare
+    # geometry only where the f32 reference is finite
+    fin = np.isfinite(f32[0, top, :4]).all(1)
+    assert fin.any()
+    box_err = float(np.abs(q[0, top, :4][fin] - f32[0, top, :4][fin]).max())
+    assert box_err < 8.0, box_err
+
+
 def test_step_plumbing_backbone_conv_int8():
     """The serving-step plumbing: BucketedScannedStep and make_batched_step
     accept (use_pallas_conv, backbone_int8_pkg) and run end-to-end on CPU in

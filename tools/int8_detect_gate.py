@@ -96,6 +96,13 @@ def main():
     p.add_argument("--target-dets", type=int, default=32)
     p.add_argument("--max-dets", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pct", type=float, default=100.0,
+                   help="activation-calibration percentile of |x| mapped "
+                        "to code 127 (100 = absmax)")
+    p.add_argument("--k3-only", action="store_true",
+                   help="quantize only the 3x3 convs (keep 1x1 bottleneck "
+                        "convs bf16 -- halves layer count for ~10% less win)")
+    p.add_argument("--calib-frames", type=int, default=2)
     p.add_argument("--xla-twin", action="store_true",
                    help="force the XLA int8 twin even on TPU (kernel-free "
                         "arithmetic check)")
@@ -157,7 +164,8 @@ def main():
 
     progress("weights ready (BN-consistent + MOT box prior)")
     pkg = quantize_darknet_from_frames(
-        plan, params, frames, args.img_size, max_frames=2)
+        plan, params, frames, args.img_size, max_frames=args.calib_frames,
+        pct=args.pct, k3_only=args.k3_only)
     progress(f"calibrated int8 package: {len(pkg)} layers")
     if not pkg:
         print(json.dumps({"ok": False, "reason": "no eligible convs"}))
@@ -242,6 +250,8 @@ def main():
         "ok": bool(ok),
         "model": args.model,
         "route": "pallas" if use_pallas else "xla-twin",
+        "pct": args.pct,
+        "k3_only": bool(args.k3_only),
         "int8_layers": len(pkg),
         "dets_f32": n_ref,
         "dets_int8": n_got,

@@ -50,16 +50,27 @@ def _layer_geometry(x, w, stride, pad, act):
 
 def calibrate_darknet_act_scales(
     plan: NetworkPlan, params: Dict, calib_x: np.ndarray,
+    pct: float = 100.0,
 ) -> Dict[int, float]:
-    """Per-eligible-conv input activation scales (absmax/127) from one f32
-    forward over a calibration batch. calib_x: (N, S, S, 3) in [0,1]
-    (letterboxed frames -- use the same content the step will see)."""
+    """Per-eligible-conv input activation scales from one f32 forward over
+    a calibration batch. calib_x: (N, S, S, 3) in [0,1] (letterboxed
+    frames -- use the same content the step will see).
+
+    ``pct``: percentile of |x| mapped to code 127 (activations beyond it
+    saturate -- the kernel clamps after rounding). Default absmax
+    (pct=100): MEASURED on the random-weight honest-load gate, percentile
+    clipping hurts (yolov3-416 xla-twin matched_frac: absmax 0.837 vs
+    99.9pct 0.735) -- on that load the detections come from the extreme
+    activations, so clipping distorts exactly the rows NMS keeps. Re-sweep
+    on real content if weights ever materialize."""
     scales: Dict[int, float] = {}
 
     def recording_impl(x, w, b, stride, pad, act, layer_idx):
         if _layer_geometry(x, w, stride, pad, act):
-            scales[layer_idx] = max(
-                float(jnp.max(jnp.abs(x))) / 127.0, 1e-12)
+            ax = np.abs(np.asarray(x, np.float32))
+            amax = float(np.percentile(ax, pct)) if pct < 100 else float(
+                ax.max())
+            scales[layer_idx] = max(amax / 127.0, 1e-12)
         return None  # always fall back to the XLA conv
 
     # eager (unjitted) forward so the recording side effect runs
@@ -70,15 +81,22 @@ def calibrate_darknet_act_scales(
 
 def quantize_darknet_convs(
     plan: NetworkPlan, params: Dict, calib_x: np.ndarray,
+    pct: float = 100.0, k3_only: bool = False,
 ) -> Dict[int, Dict[str, np.ndarray]]:
     """Folded f32 params -> int8 packages for every eligible conv:
     {idx: {wq HWIO int8, scale (Co,) f32 = xscale*wscale per channel,
            b (Co,) f32, xinv f32 = 1/xscale}}.
-    Layers not in the returned dict stay on the bf16 path."""
-    act = calibrate_darknet_act_scales(plan, params, calib_x)
+    Layers not in the returned dict stay on the bf16 path.
+
+    ``k3_only`` keeps the 1x1 convs (the residual bottlenecks' cheap half,
+    ~10% of the pair's MACs) in bf16: halves the quantized-layer count --
+    and so the accumulated drift -- for a ~10% smaller int8 win."""
+    act = calibrate_darknet_act_scales(plan, params, calib_x, pct=pct)
     out: Dict[int, Dict[str, np.ndarray]] = {}
     for idx, xscale in act.items():
         p = params[idx]
+        if k3_only and int(np.asarray(p["w"]).shape[0]) != 3:
+            continue
         w = np.asarray(p["w"], np.float32)
         co = w.shape[3]
         wscale = np.abs(w).reshape(-1, co).max(0) / 127.0
@@ -95,7 +113,7 @@ def quantize_darknet_convs(
 
 def quantize_darknet_from_frames(
     plan: NetworkPlan, params: Dict, frames: np.ndarray, img_size: int,
-    max_frames: int = 2,
+    max_frames: int = 2, pct: float = 100.0, k3_only: bool = False,
 ) -> Dict[int, Dict[str, np.ndarray]]:
     """Calibrate + package from raw frames (N, H, W, 3) uint8: letterbox to
     the exact detect-stage geometry, then calibrate ON THE HOST CPU --
@@ -109,7 +127,8 @@ def quantize_darknet_from_frames(
         fr = jnp.asarray(np.asarray(frames[:max_frames]))
         xs = np.asarray(jax.vmap(lambda f: letterbox(f, img_size))(fr),
                         np.float32)
-        return quantize_darknet_convs(plan, params_host, xs)
+        return quantize_darknet_convs(plan, params_host, xs, pct=pct,
+                                      k3_only=k3_only)
 
 
 def make_xla_int8_conv_impl(int8_pkg: Dict[int, Dict]):

@@ -46,6 +46,29 @@ def make_stream_mesh(n_devices: Optional[int] = None, axis: str = "stream") -> M
     return Mesh(np.array(devices), (axis,))
 
 
+def _make_conv_impl(use_pallas_conv, backbone_int8_pkg):
+    """Resolve the backbone conv route for the serving steps.
+
+    use_pallas_conv: False (XLA convs) | True (Pallas MXU kernel, TPU) |
+    "interpret" (Pallas kernel, interpret mode -- CPU tests) | "xla-twin"
+    (the arithmetically-identical XLA int8 route,
+    models/quantize_darknet.make_xla_int8_conv_impl -- fast on CPU, used by
+    the accuracy/consistency gates; requires backbone_int8_pkg)."""
+    if not use_pallas_conv:
+        return None
+    if use_pallas_conv == "xla-twin":
+        if backbone_int8_pkg is None:
+            raise ValueError("xla-twin conv route requires backbone_int8_pkg")
+        from ..models.quantize_darknet import make_xla_int8_conv_impl
+
+        return make_xla_int8_conv_impl(backbone_int8_pkg)
+    from ..ops.pallas_conv import make_backbone_conv_impl
+
+    return make_backbone_conv_impl(
+        interpret=use_pallas_conv == "interpret",
+        int8_pkg=backbone_int8_pkg)
+
+
 def fused_frame_step(
     plan: NetworkPlan,
     det_cfg: DetectorConfig,
@@ -130,8 +153,8 @@ def make_batched_step(
     embed_int8=False,  # False | "resident" | "resident_pallas" (fused-
     #                    tracker path only; reid_params must be the
     #                    quantize_reid_params_resident package)
-    use_pallas_conv=False,  # True | "interpret": deep backbone convs through
-    #                         the MXU Pallas kernel (ops/pallas_conv.py)
+    use_pallas_conv=False,  # True | "interpret" | "xla-twin": backbone conv
+    #                         route (see _make_conv_impl)
     backbone_int8_pkg=None,  # models.quantize_darknet package: W8A8 kernel
     #                          for packaged layers (requires use_pallas_conv)
 ):
@@ -172,13 +195,7 @@ def make_batched_step(
 
         cfg_c = dataclasses.replace(trk_cfg, max_dets=cap)
 
-    conv_impl = None
-    if use_pallas_conv:
-        from ..ops.pallas_conv import make_backbone_conv_impl
-
-        conv_impl = make_backbone_conv_impl(
-            interpret=use_pallas_conv == "interpret",
-            int8_pkg=backbone_int8_pkg)
+    conv_impl = _make_conv_impl(use_pallas_conv, backbone_int8_pkg)
 
     def run(det_params, reid_params, states, frames):
         # cfg_c: NMS runs at the ``cap`` capacity directly -- it emits rows
@@ -413,12 +430,7 @@ def make_scanned_detect_stage(
     thr = (None if conf_thres_per_stream is None
            else np.asarray(conf_thres_per_stream, np.float32))
 
-    conv_impl = None
-    if use_pallas_conv:
-        from ..ops.pallas_conv import make_backbone_conv_impl
-        conv_impl = make_backbone_conv_impl(
-            interpret=use_pallas_conv == "interpret",
-            int8_pkg=backbone_int8_pkg)
+    conv_impl = _make_conv_impl(use_pallas_conv, backbone_int8_pkg)
 
     def detect(det_params, frames):
         k, s = frames.shape[0], frames.shape[1]
