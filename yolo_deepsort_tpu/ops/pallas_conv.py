@@ -9,21 +9,40 @@ Round-3 measurements that motivate this (docs/ROADMAP.md):
     conv is SLOWER than bf16 -- the int8 path needs a hand-written kernel.
 
 Formulation: a KxK conv is K*K shifted MXU matmuls. Each program takes G
-frames' full feature map (the backbone layers this targets are spatially
-<= ~52x52 where a whole map fits VMEM), pre-padded input (G, H+2p, W+2p,
-Ci); for each tap (dy, dx) the shifted window flattens to (G*Ho*Wo, Ci)
-rows and one dot accumulates into f32 (bf16 weights) or int32 (int8
-weights). Cout tiles across a second grid dimension when the weight block
-would not fit VMEM (the 3x3 512->1024 head convs). The epilogue fuses
-bias + activation (leaky/linear/mish); int8 mode also fuses the activation
-quantization (per-tensor static scale) in the prologue and the
-per-channel dequant in the epilogue, so the graph keeps bf16 activations
-between layers and only the MACs run int8 (W8A8 with bf16 glue).
+frames' input feature map resident in VMEM; for each tap (dy, dx) a
+window of rows flattens to (G*strip*Wo, Ci) and one dot accumulates into
+f32 (bf16 weights) or int32 (int8 weights). Two scheduling dimensions
+bound VMEM:
+
+  * **H strips** (grid dim 1): the output is produced strip rows at a
+    time while the input block stays resident (its block index is
+    constant across the strip dimension, so Mosaic fetches it once).
+    Without this, the 9 live tap copies of a 52x52 layer overflow the
+    16 MB scoped-VMEM stack (measured on v5e: 16.14M > 16.00M).
+  * **Cout tiles** (grid dim 2) when the weight block would not fit VMEM
+    (the 3x3 512->1024 head convs).
+
+Stride-2 convs are PHASE-SPLIT on the XLA side (space-to-depth): the
+padded input is decomposed into its four (row, col)-parity planes stacked
+on a new axis, after which every tap read inside the kernel is a
+stride-1 static slice of one plane. This avoids the strided-decimation
+reshape ((G,Ho,2,Wo,2,Ci) -> take-every-other), which Mosaic rejects
+("infer-vector-layout: unsupported shape cast", measured on v5e).
+Stride-2 1x1 convs are pre-decimated outside the kernel for the same
+reason.
+
+The epilogue fuses bias + activation (leaky/linear/mish); int8 mode also
+fuses the activation quantization (per-tensor static scale) in the tap
+loads and the per-channel dequant in the epilogue, so the graph keeps
+bf16 activations between layers and only the MACs run int8 (W8A8 with
+bf16 glue).
 
 Exactness: bf16 mode is bit-comparable to XLA's lax.conv with bf16 inputs
 and f32 accumulation (same products, reassociated sums -- tested to f32
 tolerance); int8 mode matches the XLA int8-conv twin in
-models/quantize._int8_conv semantics.
+models/quantize._int8_conv semantics. The phase-split preserves the tap
+accumulation order, so both modes produce the same sums as the unsplit
+formulation.
 
 Reference parity anchor: SURVEY.md section 2.3 module builder
 (yolo3/models.py:~90-160 conv stack); this file changes scheduling and
@@ -54,40 +73,43 @@ def _apply_act(y, act: str):
 
 def _conv_kernel(
     x_ref, w_ref, b_ref, *rest,
-    g: int, k: int, ci: int, ho: int, wo: int, co_blk: int,
-    stride: int, act: str, int8_mode: bool, out_dtype,
+    g: int, k: int, ci: int, ho: int, wo: int, co_blk: int, strip: int,
+    phased: bool, act: str, int8_mode: bool, out_dtype,
 ):
-    """One program: G frames x one Cout block. x_ref (G, Hi+2p, Wi+2p, Ci)
-    bf16 (int8 mode quantizes in-kernel); w_ref (k*k*Ci, co_blk) bf16|int8;
-    b_ref (1, co_blk) f32. int8 mode appends scale_ref (1, co_blk) f32
-    (xscale*wscale) and xinv_ref (1, 1) f32 (1/xscale) in SMEM."""
+    """One program: G frames x one H strip x one Cout block.
+
+    x_ref: (G, HP, WP, Ci) bf16 stride-1, or (G, 4, HP2, WP2, Ci) bf16
+    phase-split (stride-2); int8 mode quantizes each tap load in-kernel.
+    w_ref (k*k*Ci, co_blk) bf16|int8 tap-major; b_ref (1, co_blk) f32.
+    int8 mode appends scale_ref (1, co_blk) f32 (xscale*wscale) and
+    xinv_ref (1, 1) f32 (1/xscale) in SMEM."""
     if int8_mode:
         scale_ref, xinv_ref, out_ref = rest
     else:
         (out_ref,) = rest
 
-    x = x_ref[...]
-    if int8_mode:
-        x = jnp.clip(jnp.round(x.astype(jnp.float32) * xinv_ref[0, 0]),
-                     -127, 127).astype(jnp.int8)
-    rows = g * ho * wo
+    h0 = pl.program_id(1) * strip
+    rows = g * strip * wo
     acc_dtype = jnp.int32 if int8_mode else jnp.float32
     acc = jnp.zeros((rows, co_blk), acc_dtype)
     for dy in range(k):
         for dx in range(k):
-            if k == 1:
-                tap = x
-            elif stride == 1:
-                tap = x[:, dy:dy + ho, dx:dx + wo, :]
+            if phased:
+                # tap (dy, dx) lives on parity plane (dy%2, dx%2) at
+                # intra-plane offset (dy//2, dx//2)
+                p = (dy % 2) * 2 + (dx % 2)
+                tap = x_ref[:, p, pl.ds(h0 + dy // 2, strip),
+                            dx // 2:dx // 2 + wo, :]
             else:
-                win = x[:, dy:dy + 2 * ho, dx:dx + 2 * wo, :]
-                win = win.reshape(g, ho, 2, wo, 2, ci)
-                tap = win[:, :, 0, :, 0, :]
-            if k == 1 and stride == 2:
-                tap = tap.reshape(g, ho, 2, wo, 2, ci)[:, :, 0, :, 0, :]
+                tap = x_ref[:, pl.ds(h0 + dy, strip), dx:dx + wo, :]
+            tap = tap.reshape(rows, ci)
+            if int8_mode:
+                tap = jnp.clip(
+                    jnp.round(tap.astype(jnp.float32) * xinv_ref[0, 0]),
+                    -127, 127).astype(jnp.int8)
             wk = w_ref[(dy * k + dx) * ci:(dy * k + dx + 1) * ci, :]
             acc = acc + jax.lax.dot_general(
-                tap.reshape(rows, ci), wk,
+                tap, wk,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=acc_dtype,
             )
@@ -95,7 +117,17 @@ def _conv_kernel(
     if int8_mode:
         y = y * scale_ref[0, :]
     y = _apply_act(y + b_ref[0, :], act)
-    out_ref[...] = y.reshape(g, ho, wo, co_blk).astype(out_dtype)
+    out_ref[...] = y.reshape(g, strip, wo, co_blk).astype(out_dtype)
+
+
+def _phase_split(xp: jnp.ndarray) -> jnp.ndarray:
+    """(N, HP, WP, C) -> (N, 4, HP//2, WP//2, C): the four (row, col)
+    parity planes, stacked. HP/WP must be even (pad guarantees it for
+    even inputs). Plane p = 2*py + px holds xp[:, py::2, px::2, :]."""
+    n, hp, wp, c = xp.shape
+    assert hp % 2 == 0 and wp % 2 == 0, (hp, wp)
+    return jnp.stack(
+        [xp[:, py::2, px::2, :] for py in (0, 1) for px in (0, 1)], axis=1)
 
 
 def _pick_g_frames(n: int, vmem_per_frame: int, hw: int) -> int:
@@ -114,6 +146,27 @@ def _pick_co_block(k: int, ci: int, co: int, w_bytes: int) -> int:
     while k * k * ci * blk * w_bytes > 4 * 2**20 and blk % 2 == 0 and blk > 128:
         blk //= 2
     return blk
+
+
+def _pick_strip(ho: int, g: int, wo: int, ci: int, co_blk: int,
+                x_bytes: int, budget: int = 6 * 2**20) -> int:
+    """Output-row strip: the largest divisor of Ho whose per-program
+    working set (live tap copies + accumulator + double-buffered output)
+    stays under ``budget``. The resident input block is budgeted
+    separately by _pick_g_frames; without strips the 9 tap copies of a
+    52x52 layer overflow the 16 MB scoped-VMEM stack."""
+
+    def est(s: int) -> int:
+        taps = 2 * g * s * wo * ci * x_bytes   # ~2 live tap copies
+        acc = g * s * wo * co_blk * 4
+        outb = 2 * g * s * wo * co_blk * 2
+        return taps + acc + outb
+
+    for s in sorted((d for d in range(1, ho + 1) if ho % d == 0),
+                    reverse=True):
+        if est(s) <= budget:
+            return s
+    return 1
 
 
 @functools.partial(
@@ -169,42 +222,70 @@ def _conv_mxu(x, w, b, scale, xinv, *, stride, pad, act, interpret):
     if stride == 2:
         assert hi % 2 == 0 and wi % 2 == 0, (hi, wi)
     int8_mode = scale is not None
+    # int8 mode quantizes in-kernel from the caller's dtype (bit-exact vs
+    # the XLA twin, which quantizes the same values); bf16 mode casts.
     xdt = jnp.bfloat16 if not int8_mode else x.dtype
 
     if pad:
         xp = jnp.pad(x.astype(xdt), ((0, 0), (1, 1), (1, 1), (0, 0)))
     else:
         xp = x.astype(xdt)
-    hp, wp = xp.shape[1], xp.shape[2]
 
-    x_bytes = 2 if xp.dtype != jnp.int8 else 1
-    vmem_per_frame = (hp * wp * ci * x_bytes          # input block
-                      + ho * wo * co * 4              # accumulator
-                      + ho * wo * co * 2)             # output block
+    # stride-2 handling on the XLA side: k=1 pre-decimates; k=3
+    # phase-splits so the kernel only ever does stride-1 reads
+    phased = False
+    if stride == 2:
+        if k == 1:
+            xp = xp[:, ::2, ::2, :]
+        else:
+            xp = _phase_split(xp)
+            phased = True
+
+    if phased:
+        _, _, hp, wp, _ = xp.shape
+        x_blk_elems = 4 * hp * wp * ci
+    else:
+        hp, wp = xp.shape[1], xp.shape[2]
+        x_blk_elems = hp * wp * ci
+
+    x_bytes = np.dtype(xp.dtype).itemsize
+    vmem_per_frame = (x_blk_elems * x_bytes          # resident input block
+                      + ho * wo * co * 4             # accumulator
+                      + ho * wo * co * 2)            # output block
     g = _pick_g_frames(n, vmem_per_frame, ho * wo)
     co_blk = _pick_co_block(k, ci, co, 1 if int8_mode else 2)
-    grid = (n // g, co // co_blk)
+    strip = _pick_strip(ho, g, wo, ci, co_blk, x_bytes)
+    grid = (n // g, ho // strip, co // co_blk)
 
     w2 = w.reshape(k * k * ci, co)
     b2 = b.reshape(1, co).astype(jnp.float32)
 
     kern = functools.partial(
         _conv_kernel, g=g, k=k, ci=ci, ho=ho, wo=wo, co_blk=co_blk,
-        stride=stride, act=act, int8_mode=int8_mode, out_dtype=jnp.bfloat16,
+        strip=strip, phased=phased, act=act, int8_mode=int8_mode,
+        out_dtype=jnp.bfloat16,
     )
+    # the input block's index map is constant in (h, j), so Mosaic keeps
+    # it resident across the strip/Cout dimensions instead of re-fetching
+    if phased:
+        x_spec = pl.BlockSpec((g, 4, hp, wp, ci),
+                              lambda i, h, j: (i, 0, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        x_spec = pl.BlockSpec((g, hp, wp, ci), lambda i, h, j: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((g, hp, wp, ci), lambda i, j: (i, 0, 0, 0),
+        x_spec,
+        pl.BlockSpec((k * k * ci, co_blk), lambda i, h, j: (0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((k * k * ci, co_blk), lambda i, j: (0, j),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, co_blk), lambda i, j: (0, j),
+        pl.BlockSpec((1, co_blk), lambda i, h, j: (0, j),
                      memory_space=pltpu.VMEM),
     ]
     args = [xp, w2, b2]
     if int8_mode:
-        in_specs.append(pl.BlockSpec((1, co_blk), lambda i, j: (0, j),
+        in_specs.append(pl.BlockSpec((1, co_blk), lambda i, h, j: (0, j),
                                      memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+        in_specs.append(pl.BlockSpec((1, 1), lambda i, h, j: (0, 0),
                                      memory_space=pltpu.SMEM))
         args += [scale.reshape(1, co).astype(jnp.float32),
                  jnp.asarray(xinv, jnp.float32).reshape(1, 1)]
@@ -213,8 +294,8 @@ def _conv_mxu(x, w, b, scale, xinv, *, stride, pad, act, interpret):
         kern,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((g, ho, wo, co_blk),
-                               lambda i, j: (i, 0, 0, j),
+        out_specs=pl.BlockSpec((g, strip, wo, co_blk),
+                               lambda i, h, j: (i, h, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, ho, wo, co), jnp.bfloat16),
         interpret=interpret,

@@ -61,7 +61,10 @@ def _conv_kernel_3x3(
     g: int, hi: int, wi: int, ci: int, ho: int, wo: int, co: int,
     stride: int, relu: bool, out_dtype, has_res: bool,
 ):
-    """One program: G crops. x_ref (G, Hi+2, Wi+2, Ci) int8 pre-padded;
+    """One program: G crops. x_ref (G, Hi+2, Wi+2, Ci) int8 pre-padded
+    for stride 1, or (G, 4, (Hi+2)/2, (Wi+2)/2, Ci) phase-split planes
+    for stride 2 (Mosaic rejects the strided-decimation reshape the
+    unsplit formulation needs: "unsupported shape cast", v5e);
     w_ref (9*Ci, Co) int8 (tap-major); scale_ref (1, Co) f32 combined
     xscale*wscale; bias_ref (1, Co) f32. Optional residual ref
     (G, Ho, Wo, Co) int8 + (1,1) res_scale + (1,1) out_inv_scale in SMEM."""
@@ -71,20 +74,18 @@ def _conv_kernel_3x3(
         res_ref, rs_ref = None, None
         oinv_ref, out_ref = rest
 
-    x = x_ref[...]  # (G, Hi+2, Wi+2, Ci) int8
     rows = g * ho * wo
     acc = jnp.zeros((rows, co), jnp.int32)
     for dy in range(3):
         for dx in range(3):
             if stride == 1:
-                tap = x[:, dy:dy + ho, dx:dx + wo, :]
+                tap = x_ref[:, dy:dy + ho, dx:dx + wo, :]
             else:
-                # output row r reads input row r*2 + dy: slice a
-                # (2*Ho, 2*Wo) window at (dy, dx), then keep every other
-                # row/col via reshape (static, layout-friendly)
-                win = x[:, dy:dy + 2 * ho, dx:dx + 2 * wo, :]
-                win = win.reshape(g, ho, 2, wo, 2, ci)
-                tap = win[:, :, 0, :, 0, :]
+                # tap (dy, dx) lives on parity plane (dy%2, dx%2) at
+                # intra-plane offset (dy//2, dx//2) -- stride-1 reads only
+                p = (dy % 2) * 2 + (dx % 2)
+                tap = x_ref[:, p, dy // 2:dy // 2 + ho,
+                            dx // 2:dx // 2 + wo, :]
             wk = w_ref[(dy * 3 + dx) * ci:(dy * 3 + dx + 1) * ci, :]
             acc = acc + jax.lax.dot_general(
                 tap.reshape(rows, ci), wk,
@@ -104,11 +105,11 @@ def _conv_kernel_1x1(
     g: int, hi: int, wi: int, ci: int, ho: int, wo: int, co: int,
     stride: int, relu: bool, out_dtype,
 ):
-    """1x1 (projection/downsample) conv: one matmul over subsampled rows.
-    x_ref (G, Hi, Wi, Ci) int8 (no padding)."""
+    """1x1 (projection/downsample) conv: one matmul. Stride-2 inputs are
+    pre-decimated OUTSIDE the kernel (XLA strided slice) -- Mosaic rejects
+    the in-kernel decimation reshape -- so x_ref is always (G, Ho, Wo, Ci)
+    int8."""
     x = x_ref[...]
-    if stride == 2:
-        x = x.reshape(g, ho, 2, wo, 2, ci)[:, :, 0, :, 0, :]
     rows = g * ho * wo
     acc = jax.lax.dot_general(
         x.reshape(rows, ci), w_ref[...],
@@ -173,10 +174,22 @@ def conv_int8(
     if kh == 3:
         assert pad == 1, pad
         # pre-pad outside the kernel (one XLA pad, fused into the producer's
-        # requant store in practice); stride-2 taps read a (2Ho, 2Wo) window
-        # from (Hi+2) rows, which requires Hi+2 >= 2*Ho+2, i.e. even Hi
+        # requant store in practice); stride-2 inputs are additionally
+        # phase-split into their four parity planes so every in-kernel tap
+        # read is a stride-1 static slice (see _conv_kernel_3x3)
         assert hi % 2 == 0 and wi % 2 == 0, (hi, wi)
         xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        if stride == 2:
+            xp = jnp.stack(
+                [xp[:, py::2, px::2, :] for py in (0, 1) for px in (0, 1)],
+                axis=1)  # (N, 4, (Hi+2)/2, (Wi+2)/2, Ci)
+            x_spec = pl.BlockSpec(
+                (g, 4, (hi + 2) // 2, (wi + 2) // 2, ci),
+                lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM)
+        else:
+            x_spec = pl.BlockSpec((g, hi + 2, wi + 2, ci),
+                                  lambda i: (i, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
         w2 = wq.reshape(kh * kw * ci, co)  # tap-major rows
         kern = functools.partial(
             _conv_kernel_3x3, g=g, hi=hi, wi=wi, ci=ci, ho=ho, wo=wo,
@@ -184,8 +197,7 @@ def conv_int8(
             has_res=residual is not None,
         )
         in_specs = [
-            pl.BlockSpec((g, hi + 2, wi + 2, ci), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            x_spec,
             pl.BlockSpec((kh * kw * ci, co), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, co), lambda i: (0, 0),
@@ -208,12 +220,14 @@ def conv_int8(
         args.append(oinv2)
     else:
         assert pad == 0 and residual is None
+        if stride == 2:  # pre-decimate: kernel only sees stride-1 (see doc)
+            xq = xq[:, ::2, ::2, :]
         kern = functools.partial(
             _conv_kernel_1x1, g=g, hi=hi, wi=wi, ci=ci, ho=ho, wo=wo,
             co=co, stride=stride, relu=relu, out_dtype=out_dtype,
         )
         in_specs = [
-            pl.BlockSpec((g, hi, wi, ci), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((g, ho, wo, ci), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ci, co), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
