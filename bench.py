@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
@@ -288,10 +289,14 @@ def main():
     def build(use_pallas_lb):
         # the conv kernel rides the same fallback switch as the other
         # Pallas kernels: a warmup failure rebuilds everything on XLA
+        # (the int8-resident embed degrades to its XLA twin, not to off)
         conv_kw = dict(
             use_pallas_conv=(args.backbone_conv != "off") and use_pallas_lb,
             backbone_int8_pkg=backbone_int8_pkg if use_pallas_lb else None,
         )
+        nonlocal embed_int8
+        if not use_pallas_lb and embed_int8 == "resident_pallas":
+            embed_int8 = "resident"
         if k > 1 and not args.no_bucketing:
             return make_scanned_step_bucketed(
                 plan, det_cfg, trk_cfg, (args.frame_h, args.frame_w),
@@ -319,6 +324,7 @@ def main():
             embed_int8=embed_int8, **conv_kw,
         )
 
+    pallas_fallback = None
     step = build(use_pallas)
     states = init_stream_states(trk_cfg, s)
     if k == 1:
@@ -331,10 +337,14 @@ def main():
         for _ in range(args.warmup):
             states, (outputs, emit) = run_chunk(states)
         jax.block_until_ready(outputs)
-    except Exception:
+    except Exception as e:
         if not use_pallas:
             raise
-        # Pallas kernel failed on this backend/geometry: fall back to XLA
+        # Pallas kernel failed on this backend/geometry: fall back to XLA,
+        # but never silently -- the explicit flags exist for A/B runs
+        print(f"[bench] Pallas warmup failed ({type(e).__name__}): "
+              f"falling back to XLA kernels", file=sys.stderr)
+        pallas_fallback = repr(e)[:200]
         use_pallas = False
         step = build(False)
         states = init_stream_states(trk_cfg, s)
@@ -435,8 +445,14 @@ def main():
         "capacity_bucket": getattr(step, "last_bucket", args.max_dets),
         "box_prior": args.box_prior,
     }
+    if pallas_fallback is not None:
+        # never hide a degraded run: the requested Pallas kernels did NOT
+        # execute; the numbers below are the XLA-fallback configuration
+        rec["pallas_fallback"] = pallas_fallback
     if embed_int8:
-        rec["embed_int8"] = args.embed_int8
+        rec["embed_int8"] = (
+            "resident" if args.embed_int8 == "pallas" and not use_pallas
+            else args.embed_int8)
     if args.backbone_conv != "off":
         rec["backbone_conv"] = args.backbone_conv if use_pallas else "off"
         if backbone_int8_pkg is not None:
