@@ -122,12 +122,17 @@ def main():
                    help="int8-resident ReID embed (W8A8, accuracy-gated by "
                         "tools/int8_gate.py); 'pallas' uses the fused int8 "
                         "conv kernels (TPU)")
-    p.add_argument("--backbone-conv", default="off",
-                   choices=["off", "pallas", "int8"],
+    p.add_argument("--backbone-conv", default="auto",
+                   choices=["off", "pallas", "int8", "whitelist", "auto"],
                    help="route deep backbone convs through the MXU Pallas "
                         "kernel (ops/pallas_conv.py); 'int8' additionally "
                         "runs them W8A8 (calibrated on the bench frames, "
-                        "accuracy-gated by tools/int8_detect_gate.py)")
+                        "accuracy-gated by tools/int8_detect_gate.py); "
+                        "'whitelist' uses the per-layer autotuned routing "
+                        "from tuned/ (tools/autotune_conv.py, error if "
+                        "absent); 'auto' (default) = whitelist when a tuned "
+                        "file for this (model, img, streams, backend) "
+                        "exists, else off")
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="capture a jax profiler trace of the timed region "
                         "into DIR (host-side events only through the axon "
@@ -230,7 +235,26 @@ def main():
     det_params = W.fold_inference_params(raw, plan.defs())
 
     backbone_int8_pkg = None
-    if args.backbone_conv == "int8":
+    # conv_route is what the steps receive as use_pallas_conv: False |
+    # True (all eligible layers) | a load_conv_whitelist dict (per-layer
+    # autotuned routing)
+    conv_route = args.backbone_conv in ("pallas", "int8")
+    if args.backbone_conv in ("whitelist", "auto"):
+        from yolo_deepsort_tpu.ops.pallas_conv import load_conv_whitelist
+
+        conv_route = load_conv_whitelist(
+            args.model, args.img_size, args.streams)
+        if conv_route is None:
+            if args.backbone_conv == "whitelist":
+                raise SystemExit(
+                    f"no tuned conv whitelist for {args.model}-"
+                    f"{args.img_size} b{args.streams} on this backend; run "
+                    "tools/autotune_conv.py first (or use --backbone-conv "
+                    "pallas/int8)")
+            conv_route = False  # auto: nothing tuned for this shape -> XLA
+    int8_layers = (None if not isinstance(conv_route, dict)
+                   else conv_route["int8"])
+    if args.backbone_conv == "int8" or (int8_layers and len(int8_layers)):
         # calibrate on the exact bench content, on the HOST (det_params are
         # still host arrays here; eager calibration through the tunnel
         # would dispatch per-op)
@@ -239,7 +263,8 @@ def main():
         )
 
         backbone_int8_pkg = quantize_darknet_from_frames(
-            plan, det_params, calib_frames, args.img_size)
+            plan, det_params, calib_frames, args.img_size,
+            layers=int8_layers)
 
     det_params = jax.tree_util.tree_map(jnp.asarray, det_params)
     embed_int8 = {"off": False, "resident": "resident",
@@ -259,23 +284,43 @@ def main():
     # and so the selected capacity bucket -- tight around the target)
     conf_thres = 0.5
     conf_vec = None
+    calib_fallback = None
     if args.target_dets > 0:
         kth = max(1, min(int(args.target_dets), args.max_dets))
 
-        @jax.jit
-        def obj_quantile(det_params, flat):
-            if use_pallas:
-                xs = pallas_letterbox_batch(flat, args.img_size)
-            else:
-                xs = jax.vmap(lambda f: letterbox(f, args.img_size))(flat)
-            decoded = network_apply(
-                plan, det_params, xs, compute_dtype=compute_dtype
-            )
-            obj = decoded[..., 4]  # (S, B)
-            top = jax.lax.top_k(obj, kth)[0]
-            return top[:, kth - 1]  # per-stream k-th largest
+        def make_obj_quantile(lb_pallas):
+            @jax.jit
+            def obj_quantile(det_params, flat):
+                if lb_pallas:
+                    xs = pallas_letterbox_batch(flat, args.img_size)
+                else:
+                    xs = jax.vmap(lambda f: letterbox(f, args.img_size))(flat)
+                decoded = network_apply(
+                    plan, det_params, xs, compute_dtype=compute_dtype
+                )
+                obj = decoded[..., 4]  # (S, B)
+                top = jax.lax.top_k(obj, kth)[0]
+                return top[:, kth - 1]  # per-stream k-th largest
 
-        conf_vec = np.asarray(obj_quantile(det_params, frames[0]), np.float32)
+            return obj_quantile
+
+        try:
+            conf_vec = np.asarray(
+                make_obj_quantile(use_pallas)(det_params, frames[0]),
+                np.float32)
+        except Exception as e:
+            if not use_pallas:
+                raise
+            # first Pallas compile of the run: a backend that cannot run
+            # the kernels (CPU) fails here, before the step's own warmup
+            # fallback could engage -- same policy: drop to XLA visibly
+            print(f"bench: Pallas letterbox unavailable at calibration "
+                  f"({type(e).__name__}); falling back to XLA kernels",
+                  file=sys.stderr)
+            calib_fallback = repr(e)[:200]
+            use_pallas = False
+            conf_vec = np.asarray(
+                make_obj_quantile(False)(det_params, frames[0]), np.float32)
         conf_thres = float(conf_vec.mean())
 
     det_cfg = DetectorConfig(
@@ -291,7 +336,7 @@ def main():
         # Pallas kernels: a warmup failure rebuilds everything on XLA
         # (the int8-resident embed degrades to its XLA twin, not to off)
         conv_kw = dict(
-            use_pallas_conv=(args.backbone_conv != "off") and use_pallas_lb,
+            use_pallas_conv=conv_route if use_pallas_lb else False,
             backbone_int8_pkg=backbone_int8_pkg if use_pallas_lb else None,
         )
         nonlocal embed_int8
@@ -324,7 +369,7 @@ def main():
             embed_int8=embed_int8, **conv_kw,
         )
 
-    pallas_fallback = None
+    pallas_fallback = calib_fallback
     step = build(use_pallas)
     states = init_stream_states(trk_cfg, s)
     if k == 1:
@@ -417,7 +462,7 @@ def main():
             plan, det_cfg, trk_cfg, (args.frame_h, args.frame_w),
             compute_dtype=compute_dtype, use_pallas_letterbox=use_pallas,
             embed_int8=embed_int8,
-            use_pallas_conv=(args.backbone_conv != "off") and use_pallas,
+            use_pallas_conv=conv_route if use_pallas else False,
             backbone_int8_pkg=backbone_int8_pkg if use_pallas else None,
             **k1_kw,
         )
@@ -453,9 +498,15 @@ def main():
         rec["embed_int8"] = (
             "resident" if args.embed_int8 == "pallas" and not use_pallas
             else args.embed_int8)
-    if args.backbone_conv != "off":
-        rec["backbone_conv"] = args.backbone_conv if use_pallas else "off"
-        if backbone_int8_pkg is not None:
+    if conv_route:
+        if not use_pallas:
+            rec["backbone_conv"] = "off"
+        elif isinstance(conv_route, dict):
+            rec["backbone_conv"] = "whitelist"
+            rec["backbone_bf16_layers"] = len(conv_route["bf16"])
+        else:
+            rec["backbone_conv"] = args.backbone_conv
+        if backbone_int8_pkg is not None and use_pallas:
             rec["backbone_int8_layers"] = len(backbone_int8_pkg)
     if getattr(step, "last_window", None) is not None:
         rec["crop_window"] = list(step.last_window)

@@ -327,3 +327,110 @@ def test_step_plumbing_backbone_conv_int8():
                           jnp.asarray(frames[0]))
     assert o1.shape == (s, trk_cfg.max_tracks, 5)
     assert np.isfinite(np.asarray(st1.mean)).all()
+
+
+def test_load_conv_whitelist_roundtrip(tmp_path):
+    """tools/autotune_conv.py emits {"bf16": [...], "int8": [...],
+    "backend": ...}; the loader must refuse a whitelist tuned on another
+    backend (per-shape winners are chip-specific)."""
+    import json
+
+    from yolo_deepsort_tpu.ops.pallas_conv import load_conv_whitelist
+
+    rec = {"model": "yolov3", "img_size": 416, "batch": 8,
+           "backend": jax.default_backend(), "bf16": [37, 64], "int8": [63]}
+    path = tmp_path / "conv_whitelist_yolov3_416_b8.json"
+    path.write_text(json.dumps(rec))
+    wl = load_conv_whitelist("yolov3", 416, 8, tuned_dir=str(tmp_path))
+    assert wl == {"bf16": frozenset({37, 64}), "int8": frozenset({63})}
+
+    rec["backend"] = "not-this-backend"
+    path.write_text(json.dumps(rec))
+    assert load_conv_whitelist("yolov3", 416, 8,
+                               tuned_dir=str(tmp_path)) is None
+    assert load_conv_whitelist("yolov3", 608, 8,
+                               tuned_dir=str(tmp_path)) is None  # no file
+
+
+def test_quantize_layers_restriction():
+    """quantize_darknet_convs(layers=...) packages only the requested
+    subset -- the whitelist route must not pay calibration for layers it
+    keeps in bf16."""
+    from yolo_deepsort_tpu.models.quantize_darknet import (
+        quantize_darknet_convs)
+
+    plan, params = _v3tiny_setup()
+    rng = np.random.default_rng(3)
+    x = rng.random((1, 416, 416, 3), np.float32)
+    full = quantize_darknet_convs(plan, params, x)
+    assert len(full) >= 2
+    keep = {sorted(full)[0]}
+    sub = quantize_darknet_convs(plan, params, x, layers=keep)
+    assert set(sub) == keep
+
+
+def test_whitelist_dict_conv_route():
+    """The serving steps accept use_pallas_conv as a load_conv_whitelist
+    dict: only whitelisted layers leave XLA, int8-whitelisted layers take
+    the W8A8 kernel, and the full forward stays at XLA parity."""
+    from yolo_deepsort_tpu.models.darknet import network_apply
+    from yolo_deepsort_tpu.models.quantize_darknet import (
+        make_xla_int8_conv_impl, quantize_darknet_convs)
+    from yolo_deepsort_tpu.parallel.streams import _make_conv_impl
+
+    plan, params = _v3tiny_setup()
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((1, 416, 416, 3), np.float32))
+
+    # discover which layers the unrestricted impl would route
+    probe = make_backbone_conv_impl(interpret=True)
+    routed = []
+
+    def discover(xv, w, b, stride, pad, act, idx):
+        out = probe(xv, w, b, stride, pad, act, idx)
+        if out is not None:
+            routed.append(idx)
+        return None  # discovery only: keep the forward on XLA
+
+    network_apply(plan, params, x, jnp.bfloat16, conv_impl=discover)
+    assert len(routed) >= 3
+    bf16_l, int8_l = routed[0], routed[1]
+    pkg = quantize_darknet_convs(plan, params, np.asarray(x),
+                                 layers={int8_l})
+    assert set(pkg) == {int8_l}
+
+    # reference: the same routing decision composed by hand -- bf16 kernel
+    # on bf16_l, the arithmetically-identical XLA int8 twin on int8_l.
+    # This isolates ROUTING; quantization accuracy has its own tests.
+    bf16_impl = make_backbone_conv_impl(interpret=True,
+                                        layer_whitelist=frozenset({bf16_l}))
+    twin = make_xla_int8_conv_impl(pkg)
+
+    def composed(xv, w, b, stride, pad, act, idx):
+        if idx == int8_l:
+            return twin(xv, w, b, stride, pad, act, idx)
+        return bf16_impl(xv, w, b, stride, pad, act, idx)
+
+    ref = np.asarray(
+        network_apply(plan, params, x, jnp.bfloat16, conv_impl=composed),
+        np.float32)
+
+    wl = {"bf16": frozenset({bf16_l}), "int8": frozenset({int8_l}),
+          "interpret": True}
+    impl = _make_conv_impl(wl, pkg)
+    taken = []
+
+    def counting(xv, w, b, stride, pad, act, idx):
+        out = impl(xv, w, b, stride, pad, act, idx)
+        if out is not None:
+            taken.append(idx)
+        return out
+
+    got = np.asarray(
+        network_apply(plan, params, x, jnp.bfloat16, conv_impl=counting),
+        np.float32)
+    assert sorted(taken) == sorted({bf16_l, int8_l})
+    # interpret kernel vs XLA twin: same int8 MACs, bf16-level noise only
+    np.testing.assert_allclose(got[..., :4], ref[..., :4], atol=3.0,
+                               rtol=4e-2)
+    np.testing.assert_allclose(got[..., 4:], ref[..., 4:], atol=3e-2)

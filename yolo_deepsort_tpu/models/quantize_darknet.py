@@ -81,7 +81,7 @@ def calibrate_darknet_act_scales(
 
 def quantize_darknet_convs(
     plan: NetworkPlan, params: Dict, calib_x: np.ndarray,
-    pct: float = 100.0, k3_only: bool = False,
+    pct: float = 100.0, k3_only: bool = False, layers=None,
 ) -> Dict[int, Dict[str, np.ndarray]]:
     """Folded f32 params -> int8 packages for every eligible conv:
     {idx: {wq HWIO int8, scale (Co,) f32 = xscale*wscale per channel,
@@ -94,6 +94,10 @@ def quantize_darknet_convs(
     act = calibrate_darknet_act_scales(plan, params, calib_x, pct=pct)
     out: Dict[int, Dict[str, np.ndarray]] = {}
     for idx, xscale in act.items():
+        if layers is not None and idx not in layers:
+            # autotuned routing (ops/pallas_conv.load_conv_whitelist):
+            # only package the layers the whitelist sends to the W8A8 route
+            continue
         p = params[idx]
         if k3_only and int(np.asarray(p["w"]).shape[0]) != 3:
             continue
@@ -114,6 +118,7 @@ def quantize_darknet_convs(
 def quantize_darknet_from_frames(
     plan: NetworkPlan, params: Dict, frames: np.ndarray, img_size: int,
     max_frames: int = 2, pct: float = 100.0, k3_only: bool = False,
+    layers=None,
 ) -> Dict[int, Dict[str, np.ndarray]]:
     """Calibrate + package from raw frames (N, H, W, 3) uint8: letterbox to
     the exact detect-stage geometry, then calibrate ON THE HOST CPU --
@@ -128,7 +133,7 @@ def quantize_darknet_from_frames(
         xs = np.asarray(jax.vmap(lambda f: letterbox(f, img_size))(fr),
                         np.float32)
         return quantize_darknet_convs(plan, params_host, xs, pct=pct,
-                                      k3_only=k3_only)
+                                      k3_only=k3_only, layers=layers)
 
 
 def make_xla_int8_conv_impl(int8_pkg: Dict[int, Dict]):

@@ -361,3 +361,33 @@ def make_backbone_conv_impl(*, max_hw: int = 64, interpret: bool = False,
 def pallas_conv_supported() -> bool:
     """True when the kernel may compile natively on this backend."""
     return jax.default_backend() == "tpu"
+
+
+def load_conv_whitelist(model: str, img_size: int, batch: int,
+                        tuned_dir: Optional[str] = None):
+    """Load a per-layer conv routing whitelist emitted by
+    tools/autotune_conv.py.
+
+    Returns {"bf16": frozenset(layer_idx), "int8": frozenset(layer_idx)} --
+    consumable by the serving steps' ``use_pallas_conv=`` argument -- or
+    None when no tuned file exists for this (model, img_size, batch) or it
+    was tuned on a different backend than the current one (per-shape
+    winners are chip-specific; a CPU run must not inherit TPU routing).
+    """
+    import json
+    import os
+
+    if tuned_dir is None:
+        tuned_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "tuned")
+    path = os.path.join(
+        tuned_dir, f"conv_whitelist_{model}_{img_size}_b{batch}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    if d.get("backend") and d["backend"] != jax.default_backend():
+        return None
+    return {"bf16": frozenset(d.get("bf16", ())),
+            "int8": frozenset(d.get("int8", ()))}

@@ -53,9 +53,21 @@ def _make_conv_impl(use_pallas_conv, backbone_int8_pkg):
     "interpret" (Pallas kernel, interpret mode -- CPU tests) | "xla-twin"
     (the arithmetically-identical XLA int8 route,
     models/quantize_darknet.make_xla_int8_conv_impl -- fast on CPU, used by
-    the accuracy/consistency gates; requires backbone_int8_pkg)."""
+    the accuracy/consistency gates; requires backbone_int8_pkg) | a dict
+    {"bf16": frozenset, "int8": frozenset} from
+    ops/pallas_conv.load_conv_whitelist (autotuned per-layer routing:
+    only whitelisted layers leave XLA; int8 layers additionally need
+    their entry in backbone_int8_pkg, else they run the bf16 kernel)."""
     if not use_pallas_conv:
         return None
+    if isinstance(use_pallas_conv, dict):
+        from ..ops.pallas_conv import make_backbone_conv_impl
+
+        wl = (frozenset(use_pallas_conv.get("bf16", ()))
+              | frozenset(use_pallas_conv.get("int8", ())))
+        return make_backbone_conv_impl(
+            interpret=bool(use_pallas_conv.get("interpret", False)),
+            layer_whitelist=wl, int8_pkg=backbone_int8_pkg)
     if use_pallas_conv == "xla-twin":
         if backbone_int8_pkg is None:
             raise ValueError("xla-twin conv route requires backbone_int8_pkg")
