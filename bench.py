@@ -122,7 +122,7 @@ def main():
                    help="int8-resident ReID embed (W8A8, accuracy-gated by "
                         "tools/int8_gate.py); 'pallas' uses the fused int8 "
                         "conv kernels (TPU)")
-    p.add_argument("--backbone-conv", default="auto",
+    p.add_argument("--backbone-conv", default="off",
                    choices=["off", "pallas", "int8", "whitelist", "auto"],
                    help="route deep backbone convs through the MXU Pallas "
                         "kernel (ops/pallas_conv.py); 'int8' additionally "
@@ -130,9 +130,18 @@ def main():
                         "accuracy-gated by tools/int8_detect_gate.py); "
                         "'whitelist' uses the per-layer autotuned routing "
                         "from tuned/ (tools/autotune_conv.py, error if "
-                        "absent); 'auto' (default) = whitelist when a tuned "
-                        "file for this (model, img, streams, backend) "
-                        "exists, else off")
+                        "absent); 'auto' = whitelist when a tuned file for "
+                        "this (model, img, streams, backend) exists, else "
+                        "off. Default off: the same-day TPU A/B measured "
+                        "the whitelist -13% in the scanned aggregate step "
+                        "(docs/ROADMAP.md round 4) while winning K=1")
+    p.add_argument("--k1-backbone-conv", default="auto",
+                   choices=["off", "same", "whitelist", "auto"],
+                   help="conv routing for the K=1 latency step only; its "
+                        "single-dispatch batch is exactly the autotuned "
+                        "shape and can prefer the Pallas kernels even when "
+                        "the scanned aggregate step measures better on XLA "
+                        "('same' reuses --backbone-conv's routing)")
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="capture a jax profiler trace of the timed region "
                         "into DIR (host-side events only through the axon "
@@ -252,9 +261,30 @@ def main():
                     "tools/autotune_conv.py first (or use --backbone-conv "
                     "pallas/int8)")
             conv_route = False  # auto: nothing tuned for this shape -> XLA
-    int8_layers = (None if not isinstance(conv_route, dict)
-                   else conv_route["int8"])
-    if args.backbone_conv == "int8" or (int8_layers and len(int8_layers)):
+    # K=1 routing resolves separately: its dispatch batch IS the autotuned
+    # shape; the TPU A/B (docs/ROADMAP.md round 4) measured the whitelist
+    # a large K=1 win while the scanned aggregate step prefers XLA
+    if args.k1_backbone_conv == "same":
+        k1_conv_route = conv_route
+    elif args.k1_backbone_conv == "off":
+        k1_conv_route = False
+    else:  # whitelist | auto
+        from yolo_deepsort_tpu.ops.pallas_conv import load_conv_whitelist
+
+        k1_conv_route = load_conv_whitelist(
+            args.model, args.img_size, args.streams)
+        if k1_conv_route is None:
+            if args.k1_backbone_conv == "whitelist":
+                raise SystemExit(
+                    f"no tuned conv whitelist for {args.model}-"
+                    f"{args.img_size} b{args.streams} on this backend "
+                    "(--k1-backbone-conv whitelist)")
+            k1_conv_route = False
+    int8_layers = set()
+    for route in (conv_route, k1_conv_route):
+        if isinstance(route, dict):
+            int8_layers |= route["int8"]
+    if args.backbone_conv == "int8" or int8_layers:
         # calibrate on the exact bench content, on the HOST (det_params are
         # still host arrays here; eager calibration through the tunnel
         # would dispatch per-op)
@@ -264,7 +294,7 @@ def main():
 
         backbone_int8_pkg = quantize_darknet_from_frames(
             plan, det_params, calib_frames, args.img_size,
-            layers=int8_layers)
+            layers=int8_layers or None)
 
     det_params = jax.tree_util.tree_map(jnp.asarray, det_params)
     embed_int8 = {"off": False, "resident": "resident",
@@ -462,7 +492,7 @@ def main():
             plan, det_cfg, trk_cfg, (args.frame_h, args.frame_w),
             compute_dtype=compute_dtype, use_pallas_letterbox=use_pallas,
             embed_int8=embed_int8,
-            use_pallas_conv=conv_route if use_pallas else False,
+            use_pallas_conv=k1_conv_route if use_pallas else False,
             backbone_int8_pkg=backbone_int8_pkg if use_pallas else None,
             **k1_kw,
         )
@@ -539,6 +569,10 @@ def main():
     if k1_p50 is not None:
         rec["k1_p50_ms"] = round(k1_p50, 2)
         rec["k1_p99_ms"] = round(k1_p99, 2)
+        if k1_conv_route and use_pallas:
+            rec["k1_backbone_conv"] = (
+                "whitelist" if isinstance(k1_conv_route, dict)
+                else args.backbone_conv)
     print(json.dumps(rec))
 
 

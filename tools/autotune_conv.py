@@ -14,6 +14,14 @@ Usage (TPU):
 Output: one JSON line per shape class (ms per route, winner, projected
 stage savings) plus the whitelist file {"bf16": [idx...], "int8": [idx...]}.
 
+CAVEAT (measured, round 4): isolated per-shape wins do NOT necessarily
+compose inside the scanned aggregate step -- the whitelist measured -13%
+there while winning the K=1 single-dispatch step by 10.4 ms same-day
+(docs/ROADMAP.md). Always confirm with the same-graph A/B (bench.py
+--backbone-conv whitelist vs off) before changing serving defaults; the
+tuned file's natural consumer is the K=1 latency path, whose dispatch
+batch is exactly the shape this tool times.
+
 Reference parity anchor: SURVEY.md section 2.3 module builder
 (yolo3/models.py:~90-160); this changes scheduling only, never topology.
 """
