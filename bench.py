@@ -141,7 +141,8 @@ def main():
                         "single-dispatch batch is exactly the autotuned "
                         "shape and can prefer the Pallas kernels even when "
                         "the scanned aggregate step measures better on XLA "
-                        "('same' reuses --backbone-conv's routing)")
+                        "('same' reuses --backbone-conv's routing; 'auto' "
+                        "= tuned whitelist if present, else same)")
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="capture a jax profiler trace of the timed region "
                         "into DIR (host-side events only through the axon "
@@ -279,7 +280,9 @@ def main():
                     f"no tuned conv whitelist for {args.model}-"
                     f"{args.img_size} b{args.streams} on this backend "
                     "(--k1-backbone-conv whitelist)")
-            k1_conv_route = False
+            # auto with nothing tuned: inherit the aggregate routing (the
+            # pre-split behavior) rather than silently dropping to off
+            k1_conv_route = conv_route
     int8_layers = set()
     for route in (conv_route, k1_conv_route):
         if isinstance(route, dict):
@@ -287,14 +290,31 @@ def main():
     if args.backbone_conv == "int8" or int8_layers:
         # calibrate on the exact bench content, on the HOST (det_params are
         # still host arrays here; eager calibration through the tunnel
-        # would dispatch per-op)
+        # would dispatch per-op). --backbone-conv int8 packages EVERY
+        # eligible layer; only the whitelist routes restrict to their own
+        # int8 sets (per-step filtering below keeps each route honest)
         from yolo_deepsort_tpu.models.quantize_darknet import (
             quantize_darknet_from_frames,
         )
 
         backbone_int8_pkg = quantize_darknet_from_frames(
             plan, det_params, calib_frames, args.img_size,
-            layers=int8_layers or None)
+            layers=None if args.backbone_conv == "int8"
+            else (int8_layers or None))
+
+    def pkg_for_route(route):
+        """The int8 package a given conv route may see: exactly the layers
+        THAT route runs W8A8 (make_backbone_conv_impl quantizes any layer
+        with a pkg entry, so a shared unfiltered pkg would silently turn a
+        route's 'bf16' layers into int8)."""
+        if backbone_int8_pkg is None or not route:
+            return None
+        if isinstance(route, dict):
+            sub = {i: backbone_int8_pkg[i] for i in route["int8"]
+                   if i in backbone_int8_pkg}
+            return sub or None
+        # route is True (all eligible layers): W8A8 only in int8 mode
+        return backbone_int8_pkg if args.backbone_conv == "int8" else None
 
     det_params = jax.tree_util.tree_map(jnp.asarray, det_params)
     embed_int8 = {"off": False, "resident": "resident",
@@ -367,7 +387,8 @@ def main():
         # (the int8-resident embed degrades to its XLA twin, not to off)
         conv_kw = dict(
             use_pallas_conv=conv_route if use_pallas_lb else False,
-            backbone_int8_pkg=backbone_int8_pkg if use_pallas_lb else None,
+            backbone_int8_pkg=pkg_for_route(conv_route)
+            if use_pallas_lb else None,
         )
         nonlocal embed_int8
         if not use_pallas_lb and embed_int8 == "resident_pallas":
@@ -493,7 +514,8 @@ def main():
             compute_dtype=compute_dtype, use_pallas_letterbox=use_pallas,
             embed_int8=embed_int8,
             use_pallas_conv=k1_conv_route if use_pallas else False,
-            backbone_int8_pkg=backbone_int8_pkg if use_pallas else None,
+            backbone_int8_pkg=pkg_for_route(k1_conv_route)
+            if use_pallas else None,
             **k1_kw,
         )
         st1 = init_stream_states(trk_cfg, s)
@@ -536,8 +558,9 @@ def main():
             rec["backbone_bf16_layers"] = len(conv_route["bf16"])
         else:
             rec["backbone_conv"] = args.backbone_conv
-        if backbone_int8_pkg is not None and use_pallas:
-            rec["backbone_int8_layers"] = len(backbone_int8_pkg)
+        agg_pkg = pkg_for_route(conv_route)
+        if agg_pkg is not None and use_pallas:
+            rec["backbone_int8_layers"] = len(agg_pkg)
     if getattr(step, "last_window", None) is not None:
         rec["crop_window"] = list(step.last_window)
         rec["max_crop_hw"] = list(step.last_crop_hw)

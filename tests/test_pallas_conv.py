@@ -348,6 +348,10 @@ def test_load_conv_whitelist_roundtrip(tmp_path):
     path.write_text(json.dumps(rec))
     assert load_conv_whitelist("yolov3", 416, 8,
                                tuned_dir=str(tmp_path)) is None
+    del rec["backend"]  # a file missing the field is equally untrusted
+    path.write_text(json.dumps(rec))
+    assert load_conv_whitelist("yolov3", 416, 8,
+                               tuned_dir=str(tmp_path)) is None
     assert load_conv_whitelist("yolov3", 608, 8,
                                tuned_dir=str(tmp_path)) is None  # no file
 

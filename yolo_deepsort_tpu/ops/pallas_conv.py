@@ -387,7 +387,9 @@ def load_conv_whitelist(model: str, img_size: int, batch: int,
         return None
     with open(path) as f:
         d = json.load(f)
-    if d.get("backend") and d["backend"] != jax.default_backend():
+    if d.get("backend") != jax.default_backend():
+        # per-shape winners are chip-specific: a file without a backend
+        # field (or from another backend) must not be inherited
         return None
     return {"bf16": frozenset(d.get("bf16", ())),
             "int8": frozenset(d.get("int8", ()))}
