@@ -160,6 +160,7 @@ def network_apply(
     return_feature_maps: bool = False,
     capture_all_layers: bool = False,
     conv_impl=None,
+    block_impl=None,
 ):
     """Forward pass. x: (N, S, S, 3) NHWC in [0,1].
 
@@ -172,7 +173,14 @@ def network_apply(
     layer (fused conv+bias+activation, e.g. the Pallas MXU kernel in
     ops/pallas_conv.py) by returning its output, or return None to fall
     back to the XLA conv. Numerics contract: bf16 inputs, f32 accumulate,
-    same activation math -- parity-tested in tests/test_pallas_conv.py."""
+    same activation math -- parity-tested in tests/test_pallas_conv.py.
+
+    ``block_impl(x, params, layer_idx)`` may claim a SPAN of modules
+    starting at layer_idx (e.g. the fused residual-block chains in
+    ops/pallas_resblock.py) by returning ``(out, consumed)`` where out is
+    the last spanned module's output; the factory guarantees no external
+    reference to intermediate outputs (find_residual_spans). Ignored under
+    ``capture_all_layers`` (per-layer parity capture needs every output)."""
     defs = plan.defs()
     head_specs = {h.module_index: h for h in plan.heads}
     cache: Dict[int, jnp.ndarray] = {}
@@ -180,7 +188,21 @@ def network_apply(
     yolo_outputs = []
     raw_maps = []
     all_layers = []  # only populated with capture_all_layers (debug/parity)
-    for i, mdef in enumerate(defs):
+    if capture_all_layers:
+        block_impl = None
+    i = 0
+    while i < len(defs):
+        mdef = defs[i]
+        if block_impl is not None:
+            res = block_impl(prev, params, i)
+            if res is not None:
+                out, consumed = res
+                last = i + consumed - 1
+                if last in plan.keep:
+                    cache[last] = out
+                prev = out
+                i += consumed
+                continue
         t = mdef["type"]
         if t == "convolutional":
             p = params[i]
@@ -227,6 +249,7 @@ def network_apply(
         if capture_all_layers:
             all_layers.append(out)
         prev = out
+        i += 1
 
     detections = jnp.concatenate(yolo_outputs, axis=1) if yolo_outputs else None
     if capture_all_layers:
