@@ -135,6 +135,20 @@ def main():
                         "off. Default off: the same-day TPU A/B measured "
                         "the whitelist -13% in the scanned aggregate step "
                         "(docs/ROADMAP.md round 4) while winning K=1")
+    p.add_argument("--resblock", default="off",
+                   choices=["off", "pallas", "int8"],
+                   help="fuse darknet residual-block chains into single "
+                        "Pallas kernels with VMEM-resident intermediates "
+                        "(ops/pallas_resblock.py); 'int8' runs fused blocks "
+                        "W8A8 where calibration packaged both convs "
+                        "(requires --backbone-conv off: one int8 package "
+                        "per step). Composable with --backbone-conv: "
+                        "chains claim whole residual spans first, the conv "
+                        "route sees the remaining layers")
+    p.add_argument("--k1-resblock", default="same",
+                   choices=["same", "off", "pallas", "int8"],
+                   help="resblock routing for the K=1 latency step only "
+                        "('same' reuses --resblock)")
     p.add_argument("--k1-backbone-conv", default="auto",
                    choices=["off", "same", "whitelist", "auto"],
                    help="conv routing for the K=1 latency step only; its "
@@ -283,11 +297,21 @@ def main():
             # auto with nothing tuned: inherit the aggregate routing (the
             # pre-split behavior) rather than silently dropping to off
             k1_conv_route = conv_route
+    _rb = {"off": False, "pallas": True, "int8": "int8"}
+    resblock_route = _rb[args.resblock]
+    k1_resblock_route = (resblock_route if args.k1_resblock == "same"
+                         else _rb[args.k1_resblock])
+    if ("int8" in (resblock_route, k1_resblock_route)
+            and args.backbone_conv != "off"):
+        raise SystemExit("--resblock int8 requires --backbone-conv off "
+                         "(each step carries one int8 package; the conv "
+                         "route would reinterpret the resblock layers)")
     int8_layers = set()
     for route in (conv_route, k1_conv_route):
         if isinstance(route, dict):
             int8_layers |= route["int8"]
-    if args.backbone_conv == "int8" or int8_layers:
+    if (args.backbone_conv == "int8" or int8_layers
+            or "int8" in (resblock_route, k1_resblock_route)):
         # calibrate on the exact bench content, on the HOST (det_params are
         # still host arrays here; eager calibration through the tunnel
         # would dispatch per-op). --backbone-conv int8 packages EVERY
@@ -299,7 +323,8 @@ def main():
 
         backbone_int8_pkg = quantize_darknet_from_frames(
             plan, det_params, calib_frames, args.img_size,
-            layers=None if args.backbone_conv == "int8"
+            layers=None if (args.backbone_conv == "int8" or "int8" in
+                            (resblock_route, k1_resblock_route))
             else (int8_layers or None))
 
     def pkg_for_route(route):
@@ -385,10 +410,16 @@ def main():
         # the conv kernel rides the same fallback switch as the other
         # Pallas kernels: a warmup failure rebuilds everything on XLA
         # (the int8-resident embed degrades to its XLA twin, not to off)
+        rb = resblock_route if use_pallas_lb else False
+        agg_pkg = pkg_for_route(conv_route) if use_pallas_lb else None
+        if rb == "int8":
+            # --resblock int8 forces --backbone-conv off, so the conv
+            # route never sees this (full) package
+            agg_pkg = backbone_int8_pkg
         conv_kw = dict(
             use_pallas_conv=conv_route if use_pallas_lb else False,
-            backbone_int8_pkg=pkg_for_route(conv_route)
-            if use_pallas_lb else None,
+            backbone_int8_pkg=agg_pkg,
+            use_resblock=rb,
         )
         nonlocal embed_int8
         if not use_pallas_lb and embed_int8 == "resident_pallas":
@@ -493,7 +524,7 @@ def main():
         p50, p99 = percentile(lat, 50), percentile(lat, 99)
 
     # ---- low-latency K=1 mode: single-frame dispatch latency
-    k1_p50 = k1_p99 = None
+    k1_p50 = k1_p99 = k1_device = None
     if not args.skip_k1_latency and k > 1 and args.latency_steps > 0:
         # static cap + windowed crops with on-device dense fallback: the
         # K=1 latency path cannot afford the bucket readback (one tunnel
@@ -509,13 +540,17 @@ def main():
                 crop_window=(320, 192) if args.frame_h <= 1080
                 else (640, 384),
             )
+        k1_rb = k1_resblock_route if use_pallas else False
+        k1_pkg = pkg_for_route(k1_conv_route) if use_pallas else None
+        if k1_rb == "int8":
+            k1_pkg = backbone_int8_pkg
         step1 = make_batched_step(
             plan, det_cfg, trk_cfg, (args.frame_h, args.frame_w),
             compute_dtype=compute_dtype, use_pallas_letterbox=use_pallas,
             embed_int8=embed_int8,
             use_pallas_conv=k1_conv_route if use_pallas else False,
-            backbone_int8_pkg=pkg_for_route(k1_conv_route)
-            if use_pallas else None,
+            backbone_int8_pkg=k1_pkg,
+            use_resblock=k1_rb,
             **k1_kw,
         )
         st1 = init_stream_states(trk_cfg, s)
@@ -530,6 +565,18 @@ def main():
             jax.block_until_ready(o1)
             lat1.append((time.perf_counter() - t1) * 1e3)
         k1_p50, k1_p99 = percentile(lat1, 50), percentile(lat1, 99)
+        # device-side step time, measured directly instead of inferred by
+        # RTT subtraction (VERDICT r4 item 4): dispatch M steps back-to-back
+        # with no intermediate sync (state chains on device), force once at
+        # the end with a scalar readback (block_until_ready lies through
+        # the axon tunnel). The single round-trip amortizes to < 1 ms/step.
+        m_chain = 32
+        _ = float(o1[0, 0, 0])  # settle the queue before timing
+        t1 = time.perf_counter()
+        for _ in range(m_chain):
+            st1, (o1, e1) = step1(det_params, reid_params, st1, f1)
+        _ = float(o1[0, 0, 0])
+        k1_device = (time.perf_counter() - t1) * 1e3 / m_chain
 
     rec = {
         "metric": f"aggregate {args.frame_h}p {args.model}-{args.img_size}"
@@ -561,6 +608,8 @@ def main():
         agg_pkg = pkg_for_route(conv_route)
         if agg_pkg is not None and use_pallas:
             rec["backbone_int8_layers"] = len(agg_pkg)
+    if resblock_route:
+        rec["resblock"] = args.resblock if use_pallas else "off"
     if getattr(step, "last_window", None) is not None:
         rec["crop_window"] = list(step.last_window)
         rec["max_crop_hw"] = list(step.last_crop_hw)
@@ -592,10 +641,14 @@ def main():
     if k1_p50 is not None:
         rec["k1_p50_ms"] = round(k1_p50, 2)
         rec["k1_p99_ms"] = round(k1_p99, 2)
+        rec["k1_device_ms"] = round(k1_device, 2)
         if k1_conv_route and use_pallas:
             rec["k1_backbone_conv"] = (
                 "whitelist" if isinstance(k1_conv_route, dict)
                 else args.backbone_conv)
+        if k1_resblock_route and use_pallas:
+            rec["k1_resblock"] = ("int8" if k1_resblock_route == "int8"
+                                  else "pallas")
     print(json.dumps(rec))
 
 

@@ -84,13 +84,19 @@ def _chain_kernel(
     per-channel dequant scales and xinv_ref (nblk, 2) f32 SMEM input
     scales [1/xscale1, 1/xscale2] per block.
     b1_ref (nblk, Cm) f32, b2_ref (nblk, Ci) f32.
-    Scratch: bufA/bufB (G, H, W, Ci) bf16 ping-pong, mid (G, H+2, W+2, Cm)
-    bf16 (or int8 in int8 mode)."""
+    Scratch: mid (G, H+2, W+2, Cm) bf16 (int8 in int8 mode).
+
+    The chain state lives in ``out_ref`` itself -- no ping-pong buffers:
+    conv1 consumes src fully into ``mid`` before conv2 starts, and conv2
+    reads each src row-chunk (the shortcut) before overwriting it, so
+    src == out_ref for blk > 0 is hazard-free. Chunk loops are STATIC
+    Python unrolls: dynamic (traced) slice starts in the sublane
+    dimension forced Mosaic relayouts on every tap read in the fori_loop
+    version (-6.6%% aggregate, round-5 attribution)."""
     if int8_mode:
-        s1_ref, s2_ref, xinv_ref, out_ref, buf_a, buf_b, mid_ref = rest
+        s1_ref, s2_ref, xinv_ref, out_ref, mid_ref = rest
     else:
-        out_ref, buf_a, buf_b, mid_ref = rest
-    bufs = (buf_a, buf_b)
+        out_ref, mid_ref = rest
     nchunk = h // chunk
     rows = g * chunk * w
     acc1_dt = jnp.int32 if int8_mode else jnp.float32
@@ -99,8 +105,7 @@ def _chain_kernel(
     mid_ref[...] = jnp.zeros(mid_ref.shape, mid_ref.dtype)
 
     for blk in range(nblk):
-        src = x_ref if blk == 0 else bufs[(blk - 1) % 2]
-        dst = out_ref if blk == nblk - 1 else bufs[blk % 2]
+        src = x_ref if blk == 0 else out_ref
         w1 = w1_ref[blk * ci:(blk + 1) * ci, :]
         b1 = b1_ref[blk, :]
         b2 = b2_ref[blk, :]
@@ -111,9 +116,9 @@ def _chain_kernel(
             xi2 = xinv_ref[blk, 1]
 
         # conv1x1 Ci->Cm into mid's interior (quantised once in int8 mode)
-        def conv1_body(c, _):
+        for c in range(nchunk):
             r0 = c * chunk
-            tap = src[:, pl.ds(r0, chunk), :, :].reshape(rows, ci)
+            tap = src[:, r0:r0 + chunk, :, :].reshape(rows, ci)
             if int8_mode:
                 tap = jnp.clip(
                     jnp.round(tap.astype(jnp.float32) * xi1),
@@ -131,19 +136,16 @@ def _chain_kernel(
                 m = jnp.clip(
                     jnp.round(m.astype(jnp.float32) * xi2),
                     -127, 127).astype(jnp.int8)
-            mid_ref[:, pl.ds(1 + r0, chunk), 1:1 + w, :] = (
+            mid_ref[:, 1 + r0:1 + r0 + chunk, 1:1 + w, :] = (
                 m.reshape(g, chunk, w, cm))
-            return 0
-
-        jax.lax.fori_loop(0, nchunk, conv1_body, 0)
 
         # conv3x3 Cm->Ci (9 shifted matmuls) + bias + act + shortcut
-        def conv2_body(c, _):
+        for c in range(nchunk):
             r0 = c * chunk
             acc = jnp.zeros((rows, ci), acc1_dt)
             for dy in range(3):
                 for dx in range(3):
-                    tap = mid_ref[:, pl.ds(r0 + dy, chunk),
+                    tap = mid_ref[:, r0 + dy:r0 + dy + chunk,
                                   dx:dx + w, :].reshape(rows, cm)
                     if not int8_mode:
                         tap = tap.astype(jnp.bfloat16)
@@ -158,76 +160,70 @@ def _chain_kernel(
             if int8_mode:
                 y = y * s2
             y = _apply_act(y + b2, act).astype(jnp.bfloat16)
-            sc = src[:, pl.ds(r0, chunk), :, :].reshape(rows, ci)
-            dst[:, pl.ds(r0, chunk), :, :] = (
+            sc = src[:, r0:r0 + chunk, :, :].reshape(rows, ci)
+            out_ref[:, r0:r0 + chunk, :, :] = (
                 (y + sc).reshape(g, chunk, w, ci))
-            return 0
-
-        jax.lax.fori_loop(0, nchunk, conv2_body, 0)
 
 
 def _chain_vmem_bytes(nblk: int, g: int, h: int, w: int, ci: int, cm: int,
                       chunk: int, int8_mode: bool) -> int:
-    """Conservative per-program VMEM estimate for the picker."""
+    """Conservative per-program VMEM estimate for the picker (state lives
+    in out_ref; x/out double-buffered by the grid pipeline)."""
     wb = 1 if int8_mode else 2
     mb = 1 if int8_mode else 2
     weights = nblk * (ci * cm + 9 * cm * ci) * wb
-    x_blk = g * h * w * ci * 2
-    bufs = 2 * g * h * w * ci * 2
-    out = 2 * g * h * w * ci * 2          # double-buffered output
+    x_blk = 2 * g * h * w * ci * 2
+    out = 2 * g * h * w * ci * 2
     mid = g * (h + 2) * (w + 2) * cm * mb
     rows = g * chunk * w
     acc = rows * ci * 4
     taps = 2 * rows * max(ci, cm) * 2     # ~2 live tap copies
-    return weights + x_blk + bufs + out + mid + acc + taps
+    return weights + x_blk + out + mid + acc + taps
 
 
-def _pick_chunk(h: int, g: int, w: int) -> int:
-    """Smallest divisor of H with >= 512 MXU rows per matmul (falls back
-    to the largest divisor when none reaches 512)."""
-    for c in sorted(d for d in range(1, h + 1) if h % d == 0):
-        if g * c * w >= 512:
-            return c
-    return h
+_MAX_UNROLL = 8  # chunk loops unroll statically; bound the program size
 
 
 def plan_chain_schedule(n: int, h: int, w: int, ci: int, cm: int,
                         nblk: int, int8_mode: bool,
                         budget: int = _VMEM_BUDGET):
-    """Pick (g frames/program, blocks/kernel-call) under the VMEM budget.
+    """Pick (g frames/program, blocks/kernel-call, row chunk) under the
+    VMEM budget.
 
-    Prefers longer chains (more resident reuse) over larger g (the batch
-    grid already pipelines frame groups).  Returns (g, per_call_nblks)
-    where per_call_nblks is a list summing to nblk, or None when even
-    (g=1, B=1) does not fit (caller falls back to XLA)."""
+    Prefers longer chains (more resident reuse), then larger g, then the
+    LARGEST chunk (fewest, biggest matmuls; all slice offsets static).
+    Returns (g, per_call_nblks, chunk) where per_call_nblks sums to nblk,
+    or None when nothing fits (caller falls back to XLA)."""
+    divisors = [d for d in range(1, h + 1)
+                if h % d == 0 and h // d <= _MAX_UNROLL]
     best = None
     for g in (8, 4, 2, 1):
         if n % g:
             continue
-        chunk = _pick_chunk(h, g, w)
-        max_b = 0
         for b in range(nblk, 0, -1):
-            if _chain_vmem_bytes(b, g, h, w, ci, cm, chunk,
-                                 int8_mode) <= budget:
-                max_b = b
-                break
-        if not max_b:
-            continue
-        # score: fewer kernel calls first, then larger g
-        ncalls = -(-nblk // max_b)
-        key = (ncalls, -g)
-        if best is None or key < best[0]:
-            best = (key, g, max_b)
+            fit = None
+            for chunk in sorted(divisors, reverse=True):
+                if _chain_vmem_bytes(b, g, h, w, ci, cm, chunk,
+                                     int8_mode) <= budget:
+                    fit = chunk
+                    break
+            if fit is None:
+                continue
+            ncalls = -(-nblk // b)
+            key = (ncalls, -g, -fit)
+            if best is None or key < best[0]:
+                best = (key, g, b, fit)
+            break  # longer b already preferred; smaller b only if no fit
     if best is None:
         return None
-    _, g, max_b = best
+    _, g, max_b, chunk = best
     per_call = []
     left = nblk
     while left:
         take = min(max_b, left)
         per_call.append(take)
         left -= take
-    return g, per_call
+    return g, per_call, chunk
 
 
 @functools.partial(jax.jit, static_argnames=("act", "interpret"))
@@ -278,7 +274,7 @@ def _resblock_chain(x, w1, b1, w2, b2, scale1, scale2, xinv, *,
 
     sched = plan_chain_schedule(n, h, w, ci, cm, nblk, int8_mode)
     assert sched is not None, "caller must gate on plan_chain_schedule"
-    g, per_call = sched
+    g, per_call, chunk = sched
 
     out = x.astype(jnp.bfloat16)
     b0 = 0
@@ -289,17 +285,16 @@ def _resblock_chain(x, w1, b1, w2, b2, scale1, scale2, xinv, *,
             None if scale1 is None else scale1[sl],
             None if scale2 is None else scale2[sl],
             None if xinv is None else xinv[sl],
-            g=g, act=act, interpret=interpret)
+            g=g, chunk=chunk, act=act, interpret=interpret)
         b0 += nb
     return out
 
 
 def _chain_call(x, w1, b1, w2, b2, scale1, scale2, xinv, *,
-                g, act, interpret):
+                g, chunk, act, interpret):
     n, h, w, ci = x.shape
     nblk, _, cm = w1.shape
     int8_mode = scale1 is not None
-    chunk = _pick_chunk(h, g, w)
     wdt = jnp.int8 if int8_mode else jnp.bfloat16
 
     # tap-major flat weight layouts (resident via constant index maps)
@@ -341,8 +336,6 @@ def _chain_call(x, w1, b1, w2, b2, scale1, scale2, xinv, *,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, ci), jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((g, h, w, ci), jnp.bfloat16),
-            pltpu.VMEM((g, h, w, ci), jnp.bfloat16),
             pltpu.VMEM((g, h + 2, w + 2, cm), mid_dt),
         ],
         interpret=interpret,

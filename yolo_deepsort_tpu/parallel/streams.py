@@ -81,6 +81,35 @@ def _make_conv_impl(use_pallas_conv, backbone_int8_pkg):
         int8_pkg=backbone_int8_pkg)
 
 
+def _make_block_impl(plan, use_resblock, backbone_int8_pkg):
+    """Resolve the fused residual-block-chain route (ops/pallas_resblock.py).
+
+    use_resblock: False (off) | True (bf16 chains) | "int8" (W8A8 chains
+    for blocks whose BOTH convs are in backbone_int8_pkg; bf16 otherwise) |
+    "interpret" (CPU tests) | a dict {"chains": [start indices], "int8":
+    bool, "interpret": bool} for per-chain A/B attribution.  Composable
+    with a conv_impl: network_apply consults block_impl first (claims
+    whole residual spans), the conv route sees the remaining layers."""
+    if not use_resblock:
+        return None
+    from ..ops.pallas_resblock import make_resblock_impl
+
+    if isinstance(use_resblock, dict):
+        wl = use_resblock.get("chains")
+        return make_resblock_impl(
+            plan,
+            int8_pkg=(backbone_int8_pkg if use_resblock.get("int8")
+                      else None),
+            interpret=bool(use_resblock.get("interpret", False)),
+            chain_whitelist=None if wl is None else frozenset(wl))
+    if use_resblock == "int8" and backbone_int8_pkg is None:
+        raise ValueError("int8 resblock route requires backbone_int8_pkg")
+    return make_resblock_impl(
+        plan,
+        int8_pkg=backbone_int8_pkg if use_resblock == "int8" else None,
+        interpret=use_resblock == "interpret")
+
+
 def fused_frame_step(
     plan: NetworkPlan,
     det_cfg: DetectorConfig,
@@ -169,6 +198,7 @@ def make_batched_step(
     #                         route (see _make_conv_impl)
     backbone_int8_pkg=None,  # models.quantize_darknet package: W8A8 kernel
     #                          for packaged layers (requires use_pallas_conv)
+    use_resblock=False,  # fused residual-block chains (_make_block_impl)
 ):
     """Multi-stream step: (det_params, reid_params, states, frames (S,H,W,3))
     -> (states, (outputs (S,T,5), emit (S,T))). Model params are broadcast;
@@ -208,6 +238,8 @@ def make_batched_step(
         cfg_c = dataclasses.replace(trk_cfg, max_dets=cap)
 
     conv_impl = _make_conv_impl(use_pallas_conv, backbone_int8_pkg)
+    block_impl = _make_block_impl(plan, use_resblock, backbone_int8_pkg)
+    full_batch_backbone = conv_impl is not None or block_impl is not None
 
     def run(det_params, reid_params, states, frames):
         # cfg_c: NMS runs at the ``cap`` capacity directly -- it emits rows
@@ -222,16 +254,16 @@ def make_batched_step(
         )
         if use_pallas_letterbox:
             xs = pallas_letterbox_batch(frames, det_cfg.img_size)
-        elif conv_impl is not None:
+        elif full_batch_backbone:
             xs = jax.vmap(lambda f: letterbox(f, det_cfg.img_size))(frames)
         else:
             xs = None
-        if conv_impl is not None:
+        if full_batch_backbone:
             # backbone at full stream batch OUTSIDE the per-stream vmap:
-            # the Pallas kernel grids over the batch itself
+            # the Pallas kernels grid over the batch itself
             decoded_all = network_apply(
                 plan, det_params, xs, compute_dtype=compute_dtype,
-                conv_impl=conv_impl)
+                conv_impl=conv_impl, block_impl=block_impl)
             out = jax.vmap(
                 lambda st, fr, dec: fn(det_params, reid_params, st, fr,
                                        decoded=dec),
@@ -416,6 +448,7 @@ def make_scanned_detect_stage(
     backbone_int8_pkg=None,  # models.quantize_darknet package: W8A8 kernel
     #                          for packaged layers (requires use_pallas_conv;
     #                          gate with tools/int8_detect_gate.py first)
+    use_resblock=False,  # fused residual-block chains (_make_block_impl)
     conf_thres_per_stream=None,  # optional (S,) overriding det_cfg.conf_thres
     tracked_class_ids=None,
 ):
@@ -443,6 +476,7 @@ def make_scanned_detect_stage(
            else np.asarray(conf_thres_per_stream, np.float32))
 
     conv_impl = _make_conv_impl(use_pallas_conv, backbone_int8_pkg)
+    block_impl = _make_block_impl(plan, use_resblock, backbone_int8_pkg)
 
     def detect(det_params, frames):
         k, s = frames.shape[0], frames.shape[1]
@@ -453,7 +487,7 @@ def make_scanned_detect_stage(
             xs = jax.vmap(lambda f: letterbox(f, size))(flat)
         decoded = network_apply(
             plan, det_params, xs, compute_dtype=compute_dtype,
-            conv_impl=conv_impl,
+            conv_impl=conv_impl, block_impl=block_impl,
         )
         conf = det_cfg.conf_thres if thr is None else jnp.tile(thr, k)
         boxes7, mask, nms_sat = batched_nms_with_stats(
@@ -660,6 +694,7 @@ class BucketedScannedStep:
         use_pallas_conv=False,  # True | "interpret": backbone convs through
         #                         the MXU Pallas kernel (ops/pallas_conv.py)
         backbone_int8_pkg=None,  # quantize_darknet package -> W8A8 kernel
+        use_resblock=False,  # fused residual-block chains (_make_block_impl)
     ):
         h, w = frame_hw
         if use_pallas_crops is None:
@@ -671,6 +706,7 @@ class BucketedScannedStep:
             use_pallas_letterbox=use_pallas_letterbox,
             use_pallas_conv=use_pallas_conv,
             backbone_int8_pkg=backbone_int8_pkg,
+            use_resblock=use_resblock,
             conf_thres_per_stream=conf_thres_per_stream,
             tracked_class_ids=tracked_class_ids,
         )
@@ -813,6 +849,7 @@ def make_scanned_step_bucketed(
     embed_int8=False,
     use_pallas_conv=False,
     backbone_int8_pkg=None,
+    use_resblock=False,
 ) -> BucketedScannedStep:
     return BucketedScannedStep(
         plan, det_cfg, trk_cfg, frame_hw, buckets=buckets,
@@ -821,6 +858,7 @@ def make_scanned_step_bucketed(
         conf_thres_per_stream=conf_thres_per_stream, windows=windows,
         use_pallas_crops=use_pallas_crops, embed_int8=embed_int8,
         use_pallas_conv=use_pallas_conv, backbone_int8_pkg=backbone_int8_pkg,
+        use_resblock=use_resblock,
     )
 
 
