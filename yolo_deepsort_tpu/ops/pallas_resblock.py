@@ -182,13 +182,19 @@ def _chain_vmem_bytes(nblk: int, g: int, h: int, w: int, ci: int, cm: int,
 
 
 _MAX_UNROLL = 8  # chunk loops unroll statically; bound the program size
+# blocks x row-chunks per call: every tile unrolls to ~10 static dots and
+# Mosaic compile time grows ~quadratically in program size (measured on
+# chip: 10 dots 1.4s, 60 dots 20s, 320 dots 1075s for the v3-416 52x52
+# stage).  8 tiles ~= 80 dots keeps each call ~30s while still fusing
+# 4-block chains at 52x52 / 3-block at 26x26.
+_MAX_CALL_TILES = 8
 
 
 def plan_chain_schedule(n: int, h: int, w: int, ci: int, cm: int,
                         nblk: int, int8_mode: bool,
                         budget: int = _VMEM_BUDGET):
     """Pick (g frames/program, blocks/kernel-call, row chunk) under the
-    VMEM budget.
+    VMEM budget and the Mosaic program-size bound.
 
     Prefers longer chains (more resident reuse), then larger g, then the
     LARGEST chunk (fewest, biggest matmuls; all slice offsets static).
@@ -203,6 +209,8 @@ def plan_chain_schedule(n: int, h: int, w: int, ci: int, cm: int,
         for b in range(nblk, 0, -1):
             fit = None
             for chunk in sorted(divisors, reverse=True):
+                if b * (h // chunk) > _MAX_CALL_TILES:
+                    break  # smaller chunks only add tiles
                 if _chain_vmem_bytes(b, g, h, w, ci, cm, chunk,
                                      int8_mode) <= budget:
                     fit = chunk
