@@ -44,6 +44,15 @@ def main():
                    help="add a detect-stage A/B variant running the deep "
                         "backbone convs W8A8 through the Pallas kernel "
                         "(calibrated on the bench frames)")
+    p.add_argument("--resblock", default="off",
+                   choices=["off", "pallas", "int8"],
+                   help="add a detect-stage A/B variant fusing residual-"
+                        "block chains into single Pallas kernels "
+                        "(ops/pallas_resblock.py)")
+    p.add_argument("--resblock-chains", default=None,
+                   help="comma-separated chain START module indices to "
+                        "fuse (per-chain attribution); default all. The "
+                        "discovered chains are printed in the JSON")
     args = p.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -197,6 +206,57 @@ def main():
             (time.perf_counter() - t0) / args.steps * 1e3, 1)
         out["int8conv_count_delta"] = int(
             abs(int(np.asarray(mcq)[0]) - int(mc[0])))
+
+    if args.resblock != "off":
+        # same-graph detect A/B: consecutive residual blocks fused into
+        # chain kernels with VMEM-resident intermediates; optional
+        # per-chain whitelist for attribution (start module indices)
+        from yolo_deepsort_tpu.ops.pallas_resblock import (
+            find_residual_spans,
+        )
+
+        out["resblock_chains"] = [list(c) for c in
+                                  find_residual_spans(plan)]
+        wl = (None if args.resblock_chains is None else
+              [int(v) for v in args.resblock_chains.split(",")])
+        rb = {"chains": wl, "int8": args.resblock == "int8"}
+        rb_pkg = None
+        if args.resblock == "int8":
+            from yolo_deepsort_tpu.models.quantize_darknet import (
+                quantize_darknet_from_frames,
+            )
+
+            rb_pkg = quantize_darknet_from_frames(
+                plan, det_params_host, base, args.img_size)
+        detect_rb = make_scanned_detect_stage(
+            plan, det_cfg, trk_cfg, hw, compute_dtype=jnp.bfloat16,
+            use_pallas_letterbox=True, use_resblock=rb,
+            backbone_int8_pkg=rb_pkg)
+
+        @jax.jit
+        def detect_rb_chained(dp, fr, bump):
+            b7_, m_, mc_ = detect_rb(dp, fr)
+            nb = jnp.isnan(jnp.sum(b7_)).astype(jnp.uint8)
+            return b7_, m_, mc_, nb
+
+        bump4 = jnp.uint8(0)
+        for _ in range(2):
+            b7r, mr_, mcr, bump4 = detect_rb_chained(det_params, frames,
+                                                     bump4)
+        jax.block_until_ready(b7r)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            b7r, mr_, mcr, bump4 = detect_rb_chained(det_params, frames,
+                                                     bump4)
+        jax.block_until_ready(b7r)
+        key = "detect_ms_per_chunk_resblock"
+        if args.resblock == "int8":
+            key += "_int8"
+        if wl is not None:
+            key += "_" + "_".join(str(v) for v in wl)
+        out[key] = round((time.perf_counter() - t0) / args.steps * 1e3, 1)
+        out["resblock_count_delta"] = int(
+            abs(int(np.asarray(mcr)[0]) - int(mc[0])))
 
     # --- track stage per capacity x crop-window variant, state chained +
     # saturating warmup (window (320,192) + Pallas kernel = the production
