@@ -100,6 +100,42 @@ def test_bucketed_step_surfaces_saturation():
     assert set(sat) == {"sat_nms_topk", "sat_nms_dets", "sat_bucket_chunks"}
 
 
+def test_bucket_ladder_saturation_fires_on_crowding():
+    """Survivors the max_dets output had no room for count toward the
+    chunk's bucket stat, so sat_bucket_chunks fires on crowded scenes.
+    (Before round 5 the stat was post-capacity and could NEVER exceed
+    buckets[-1] == max_dets -- the counter was structurally dead.)"""
+    from yolo_deepsort_tpu.api import Darknet
+    from yolo_deepsort_tpu.config import DetectorConfig, TrackerConfig
+    from yolo_deepsort_tpu.models.reid import random_reid_params
+    from yolo_deepsort_tpu.parallel.streams import make_scanned_step_bucketed
+    from yolo_deepsort_tpu.tracking.tracker import init_tracker_state
+
+    h, w = 64, 96
+    model = Darknet("yolov3-tiny", img_size=96)
+    # wide-open top-k (64) + tiny output capacity (4): NMS survivors must
+    # overflow the output, leaving leftover-alive counts in the stats
+    det_cfg = DetectorConfig(img_size=96, conf_thres=0.0, max_boxes=64)
+    trk_cfg = TrackerConfig(max_tracks=8, max_dets=4, nn_budget=4)
+    step = make_scanned_step_bucketed(
+        model.plan, det_cfg, trk_cfg, (h, w), buckets=(4,),
+        donate_state=False,
+    )
+    states = jax.tree_util.tree_map(
+        lambda x: jnp.stack([x]), init_tracker_state(trk_cfg))
+    frames = np.random.default_rng(0).integers(
+        0, 255, (1, 1, h, w, 3), np.uint8)
+    step(model.params, random_reid_params(0), states, jnp.asarray(frames))
+    sat = step.saturation()
+    assert sat["sat_nms_dets"] > 0
+    assert sat["sat_bucket_chunks"] == 1
+    # the surfaced chunk count is the PRE-capacity survivor count
+    assert step.last_max_count > trk_cfg.max_dets
+    # invariant: the ladder saturates exactly when the output capacity
+    # dropped survivors (buckets top out at max_dets by construction)
+    assert (sat["sat_bucket_chunks"] > 0) == (sat["sat_nms_dets"] > 0)
+
+
 def test_pipeline_stats_lane_saturation():
     from yolo_deepsort_tpu.utils.profiling import PipelineStats
 

@@ -494,7 +494,13 @@ def make_scanned_detect_stage(
             decoded, conf, det_cfg.nms_thres,
             det_cfg.max_boxes, trk_cfg.max_dets,
         )
-        max_count = jnp.max(jnp.sum(mask, axis=-1)).astype(jnp.int32)
+        # pre-capacity survivor count: survivors the max_dets output had no
+        # room for (nms_sat[:, 1]) count toward the bucket stat, so the
+        # ladder's saturation counter can fire (a post-cap count could
+        # never exceed buckets[-1] == max_dets)
+        max_count = jnp.max(
+            jnp.sum(mask, axis=-1) + nms_sat[:, 1]
+        ).astype(jnp.int32)
 
         consumed = mask
         if tracked_class_ids is not None:
