@@ -122,6 +122,13 @@ def main():
                    help="int8-resident ReID embed (W8A8, accuracy-gated by "
                         "tools/int8_gate.py); 'pallas' uses the fused int8 "
                         "conv kernels (TPU)")
+    p.add_argument("--k1-embed-int8", default="same",
+                   choices=["same", "off", "resident", "pallas"],
+                   help="embed routing for the K=1 latency step only "
+                        "('same' reuses --embed-int8): the K=1 embed runs "
+                        "one static-cap batch per frame, a different "
+                        "composition point than the scanned aggregate "
+                        "where the resident kernels measured -17%%")
     p.add_argument("--backbone-conv", default="off",
                    choices=["off", "pallas", "int8", "whitelist", "auto"],
                    help="route deep backbone convs through the MXU Pallas "
@@ -342,17 +349,24 @@ def main():
         return backbone_int8_pkg if args.backbone_conv == "int8" else None
 
     det_params = jax.tree_util.tree_map(jnp.asarray, det_params)
-    embed_int8 = {"off": False, "resident": "resident",
-                  "pallas": "resident_pallas"}[args.embed_int8]
-    if embed_int8:
+    _emb = {"off": False, "resident": "resident",
+            "pallas": "resident_pallas"}
+    embed_int8 = _emb[args.embed_int8]
+    k1_embed_int8 = (embed_int8 if args.k1_embed_int8 == "same"
+                     else _emb[args.k1_embed_int8])
+    reid_params_q = None
+    if embed_int8 or k1_embed_int8:
         from yolo_deepsort_tpu.models.quantize import (
             quantize_reid_params_resident,
         )
 
         calib = np.random.default_rng(5).normal(
             0, 1, (64, 128, 64, 3)).astype(np.float32)
-        reid_params = quantize_reid_params_resident(reid_params, calib)
-    reid_params = jax.tree_util.tree_map(jnp.asarray, reid_params)
+        reid_params_q = jax.tree_util.tree_map(
+            jnp.asarray, quantize_reid_params_resident(reid_params, calib))
+    reid_params_plain = jax.tree_util.tree_map(jnp.asarray, reid_params)
+    # the aggregate step's params (existing name, used below throughout)
+    reid_params = reid_params_q if embed_int8 else reid_params_plain
 
     # ---- load calibration: per-STREAM conf thresholds so every stream
     # carries ~target_dets detections (equal counts keep the chunk-max --
@@ -549,10 +563,21 @@ def main():
         k1_pkg = pkg_for_route(k1_conv_route) if use_pallas else None
         if k1_rb == "int8":
             k1_pkg = backbone_int8_pkg
+        if not use_pallas and k1_embed_int8 == "resident_pallas":
+            k1_embed_int8 = "resident"
+        if k1_embed_int8 and not use_fused_tracker_default():
+            # resident embed lives on the fused-tracker path only; a
+            # backend without the megakernel would silently run the plain
+            # reid_apply on the quantized package
+            print("bench: K=1 embed-int8 unavailable without the fused "
+                  "tracker on this backend; running the bf16 embed",
+                  file=sys.stderr)
+            k1_embed_int8 = False
+        k1_reid = reid_params_q if k1_embed_int8 else reid_params_plain
         step1 = make_batched_step(
             plan, det_cfg, trk_cfg, (args.frame_h, args.frame_w),
             compute_dtype=compute_dtype, use_pallas_letterbox=use_pallas,
-            embed_int8=embed_int8,
+            embed_int8=k1_embed_int8,
             use_pallas_conv=k1_conv_route if use_pallas else False,
             backbone_int8_pkg=k1_pkg,
             use_resblock=k1_rb,
@@ -561,12 +586,12 @@ def main():
         st1 = init_stream_states(trk_cfg, s)
         f1 = frames[0]
         for _ in range(max(args.warmup * k, 5)):  # confirm tracks again
-            st1, (o1, e1) = step1(det_params, reid_params, st1, f1)
+            st1, (o1, e1) = step1(det_params, k1_reid, st1, f1)
         jax.block_until_ready(o1)
         lat1 = []
         for _ in range(args.latency_steps):
             t1 = time.perf_counter()
-            st1, (o1, e1) = step1(det_params, reid_params, st1, f1)
+            st1, (o1, e1) = step1(det_params, k1_reid, st1, f1)
             jax.block_until_ready(o1)
             lat1.append((time.perf_counter() - t1) * 1e3)
         k1_p50, k1_p99 = percentile(lat1, 50), percentile(lat1, 99)
@@ -579,7 +604,7 @@ def main():
         _ = float(o1[0, 0, 0])  # settle the queue before timing
         t1 = time.perf_counter()
         for _ in range(m_chain):
-            st1, (o1, e1) = step1(det_params, reid_params, st1, f1)
+            st1, (o1, e1) = step1(det_params, k1_reid, st1, f1)
         _ = float(o1[0, 0, 0])
         k1_device = (time.perf_counter() - t1) * 1e3 / m_chain
 
@@ -654,6 +679,10 @@ def main():
         if k1_resblock_route and use_pallas:
             rec["k1_resblock"] = ("int8" if k1_resblock_route == "int8"
                                   else "pallas")
+        if k1_embed_int8:
+            rec["k1_embed_int8"] = ("pallas"
+                                    if k1_embed_int8 == "resident_pallas"
+                                    else "resident")
     print(json.dumps(rec))
 
 
