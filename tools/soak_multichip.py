@@ -107,12 +107,18 @@ def main():
     frames_dev = [jax.device_put(frames_ks[i % k], sharded)
                   for i in range(k)]
 
-    # warmup: compile + confirm the track population
+    # warmup: compile + confirm the track population. Synchronize EVERY
+    # step: on the 1-core virtual mesh, async dispatch queues many sharded
+    # executions whose 8 rendezvous participants share one bounded thread
+    # pool -- tasks from DIFFERENT op_ids occupy the pool and a collective
+    # can starve forever (observed: all-gather stuck > 10 min at zero CPU,
+    # and the earlier 'only 3 of 8 arrived' rendezvous abort). One
+    # execution in flight at a time keeps every pool task a participant
+    # of the same collective.
     for i in range(3 * k):
         states, (outputs, emit) = step(det_params, reid_params, states,
                                        frames_dev[i % k])
-        gids = gid_step(states, gids)
-    jax.block_until_ready(outputs)
+        gids = jax.block_until_ready(gid_step(states, gids))
     base_tracks = float(jnp.mean(jnp.sum(states.state == STATE_CONFIRMED,
                                          axis=-1)))
     base_next_id = int(jnp.max(states.next_id))
@@ -144,9 +150,13 @@ def main():
         for i in range(k):
             states, (outputs, emit) = step(det_params, reid_params, states,
                                            frames_dev[i])
-            gids = gid_step(states, gids)
+            # per-step sync: see the warmup comment (collective starvation
+            # under async dispatch on the shared-pool virtual mesh)
+            gids = jax.block_until_ready(gid_step(states, gids))
         out_g = relabel_outputs_global(outputs, gids)
         if (c + 1) % args.check_every == 0:
+            print(f"[soak] chunk {c + 1}/{args.chunks}", file=sys.stderr,
+                  flush=True)
             finite, tracks, over_budget, _ = jax.device_get(
                 summarize(states))
             tracks = float(tracks)
