@@ -70,6 +70,11 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_conv import _apply_act
 
 _VMEM_BUDGET = 13 * 2**20  # conservative share of the 16 MB scoped stack
+# int8 chains carry extra Mosaic temporaries the estimate cannot see
+# (int8->f32 tap conversions + dequant copies, ~3 MB measured at the
+# v3-416 52x52 stage: scoped stack hit 16.17 MB under the 13 MB budget);
+# a lower budget makes the picker choose smaller tiles there.
+_VMEM_BUDGET_INT8 = 10 * 2**20
 
 
 def _chain_kernel(
@@ -192,7 +197,7 @@ _MAX_CALL_TILES = 8
 
 def plan_chain_schedule(n: int, h: int, w: int, ci: int, cm: int,
                         nblk: int, int8_mode: bool,
-                        budget: int = _VMEM_BUDGET):
+                        budget: int | None = None):
     """Pick (g frames/program, blocks/kernel-call, row chunk) under the
     VMEM budget and the Mosaic program-size bound.
 
@@ -200,6 +205,8 @@ def plan_chain_schedule(n: int, h: int, w: int, ci: int, cm: int,
     LARGEST chunk (fewest, biggest matmuls; all slice offsets static).
     Returns (g, per_call_nblks, chunk) where per_call_nblks sums to nblk,
     or None when nothing fits (caller falls back to XLA)."""
+    if budget is None:
+        budget = _VMEM_BUDGET_INT8 if int8_mode else _VMEM_BUDGET
     divisors = [d for d in range(1, h + 1)
                 if h % d == 0 and h // d <= _MAX_UNROLL]
     best = None
