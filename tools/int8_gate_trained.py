@@ -132,7 +132,7 @@ def main():
     p.add_argument("--img-size", type=int, default=320)
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--eval-frames", type=int, default=16)
     p.add_argument("--conf", type=float, default=0.5)
     p.add_argument("--nms", type=float, default=0.4)
@@ -181,7 +181,10 @@ def main():
 
     raw = W.random_raw_params(plan.defs(), seed=args.seed)
     params, stats = raw_params_to_train(raw, plan.defs())
-    tx = optax.adam(args.lr)
+    # noobj_scale=100 BCE makes early gradients spiky at stock depth;
+    # clip + the learning-test lr (5e-4) keep 320-px training finite
+    # (adam(2e-3) unclipped diverged to NaN on the first steps).
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(args.lr))
     opt_state = tx.init(params)
     step = jax.jit(make_detection_train_step(plan, tx))
 
@@ -203,6 +206,13 @@ def main():
         loss_last = float(loss)
         if it % 50 == 0:
             progress(f"train step {it}: loss {float(loss):.3f}")
+            if not np.isfinite(loss_last):
+                print(json.dumps({
+                    "metric": "int8 detector gate on trained weights",
+                    "ok": False,
+                    "error": f"training diverged (loss NaN by step {it})",
+                    "train_loss": [loss0, loss_last]}))
+                sys.exit(1)
     progress(f"trained: loss {loss0:.2f} -> {loss_last:.3f}")
 
     raw = train_params_to_raw(params, stats, plan.defs())
